@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Driver benchmark: Manhattan-3500-class batch Gauss-Newton on TPU.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The north-star metric (BASELINE.json) is pose-graph iterations/sec +
+time-to-chi2 on Manhattan-3500; the reference's published number is 0.0419 s
+for a 5-iteration batch solve on a 2013 desktop CPU (BASELINE.md row 2), i.e.
+119 iterations/sec.  The reference datasets are not downloadable here
+(zero egress), so the benchmark runs a synthetic Manhattan-world graph of the
+same size (3500 poses, ~10.5k states) and reports GN iterations/sec
+(post-compile steady state, chi2-converging iterations on real data shapes).
+
+vs_baseline = our iterations/sec / reference iterations/sec (>1 is faster).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+import slampp_tpu  # noqa: E402  (x64 on)
+import jax  # noqa: E402
+
+from slampp_tpu.io.datasets import make_manhattan  # noqa: E402
+from slampp_tpu.io.parser import parse_file, build_system  # noqa: E402
+from slampp_tpu.solvers import GaussNewtonSolver  # noqa: E402
+from slampp_tpu.solvers.gauss_newton import _gn_step  # noqa: E402
+
+
+def main():
+    import tempfile
+
+    n_poses = int(os.environ.get("BENCH_POSES", "3500"))
+    text, gt = make_manhattan(n_poses=n_poses, loop_prob=0.1, seed=0)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    solver = GaussNewtonSolver(system)
+    graph = system.snapshot()
+
+    # compile + correctness: run the full 5-iteration batch solve
+    t0 = time.perf_counter()
+    solver.optimize(max_iterations=5, min_dx_norm=0.01)
+    t_first = time.perf_counter() - t0
+    chi2 = solver.chi2()
+
+    # steady-state iterations/sec: time jitted GN steps back-to-back
+    new_states, dx_norm, _ = _gn_step(graph)  # warm cache for this shape
+    jax.block_until_ready(dx_norm)
+    n_timed = 10
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        new_states, dx_norm, _ = _gn_step(graph)
+    jax.block_until_ready(dx_norm)
+    dt = time.perf_counter() - t0
+    iters_per_sec = n_timed / dt
+
+    ref_iters_per_sec = 5.0 / 0.0419  # BASELINE.md row 2 (ICRA'13 CPU)
+    print(
+        json.dumps(
+            {
+                "metric": "manhattan3500_gn_iters_per_sec",
+                "value": round(iters_per_sec, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(iters_per_sec / ref_iters_per_sec, 3),
+                "extra": {
+                    "chi2_final": round(float(chi2), 2),
+                    "chi2_dof": system.chi2_dof(),
+                    "first_solve_s": round(t_first, 3),
+                    "n_poses": n_poses,
+                    "n_edges": system.n_edges,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Synthetic dataset generators (g2o-format text).
+
+The reference's benchmark datasets (manhattanOlson3500, sphere2500,
+venice871, ... — BASELINE.md) download from SourceForge and are not available
+in this environment, so these generators produce statistically similar
+problems with known ground truth: a Manhattan-world 2D odometry walk with
+loop closures, an SE(3) sphere walk, and a synthetic bundle-adjustment scene
+(cameras on a ring observing a point cloud).  All emit the same tokens the
+parser consumes, so parser + pipeline are exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import io as _io
+
+import numpy as np
+
+from slampp_tpu.models.se2 import _np_rel_to_abs
+from slampp_tpu.models.se3 import (
+    _np_aa_to_quat,
+    _np_quat_conj,
+    _np_quat_mul,
+    _np_quat_rotate,
+    _np_quat_to_aa,
+    np_relative_to_absolute,
+)
+
+
+def _np_abs_to_rel_se2(p1, p2):
+    de, dn = p2[0] - p1[0], p2[1] - p1[1]
+    c, s = np.cos(p1[2]), np.sin(p1[2])
+    return np.array(
+        [c * de + s * dn, -s * de + c * dn, np.fmod(p2[2] - p1[2], 2 * np.pi)]
+    )
+
+
+def make_manhattan(
+    n_poses: int = 3500,
+    step: float = 1.0,
+    loop_prob: float = 0.1,
+    loop_radius: float = 2.0,
+    loop_separation: int = 50,
+    trans_noise: float = 0.05,
+    rot_noise: float = 0.02,
+    seed: int = 0,
+):
+    """Manhattan-world 2D pose graph: grid walk with 90-degree turns and
+    proximity loop closures.  Returns (g2o_text, ground_truth (n,3))."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((n_poses, 3))
+    pose = np.zeros(3)
+    for i in range(1, n_poses):
+        turn = rng.choice([0, 0, 0, 1, -1])  # mostly straight
+        d = np.array([step, 0.0, turn * np.pi / 2])
+        pose = _np_rel_to_abs(pose, d)
+        gt[i] = pose
+
+    lines = []
+    info_t = 1.0 / (trans_noise**2)
+    info_r = 1.0 / (rot_noise**2)
+    info6 = (info_t, 0.0, 0.0, info_t, 0.0, info_r)
+
+    def noisy_rel(a, b):
+        rel = _np_abs_to_rel_se2(gt[a], gt[b])
+        rel[0] += rng.normal(0, trans_noise)
+        rel[1] += rng.normal(0, trans_noise)
+        rel[2] += rng.normal(0, rot_noise)
+        return rel
+
+    for i in range(1, n_poses):
+        rel = noisy_rel(i - 1, i)
+        lines.append(
+            "EDGE2 %d %d %.9f %.9f %.9f %.6f %.6f %.6f %.6f %.6f %.6f"
+            % (i - 1, i, *rel, *info6)
+        )
+        # proximity loop closures back to earlier poses
+        if i > loop_separation and rng.random() < loop_prob:
+            d2 = np.sum((gt[: i - loop_separation, :2] - gt[i, :2]) ** 2, axis=1)
+            j = int(np.argmin(d2))
+            if d2[j] < loop_radius**2:
+                rel = noisy_rel(j, i)
+                lines.append(
+                    "EDGE2 %d %d %.9f %.9f %.9f %.6f %.6f %.6f %.6f %.6f %.6f"
+                    % (j, i, *rel, *info6)
+                )
+    return "\n".join(lines) + "\n", gt
+
+
+def _np_abs_to_rel_se3(p1, p2):
+    q1 = _np_aa_to_quat(p1[3:6])
+    q2 = _np_aa_to_quat(p2[3:6])
+    q1i = _np_quat_conj(q1)
+    t = _np_quat_rotate(q1i, p2[0:3] - p1[0:3])
+    return np.concatenate([t, _np_quat_to_aa(_np_quat_mul(q1i, q2))])
+
+
+def make_sphere(
+    n_poses: int = 2500,
+    n_rings: int = 50,
+    radius: float = 20.0,
+    trans_noise: float = 0.05,
+    rot_noise: float = 0.02,
+    seed: int = 0,
+):
+    """SE(3) sphere pose graph (sphere2500-like): a spiral on a sphere with
+    ring-to-ring loop closures.  Emits EDGE_SE3:AXISANGLE lines."""
+    rng = np.random.default_rng(seed)
+    per_ring = n_poses // n_rings
+    gt = np.zeros((n_poses, 6))
+    for i in range(n_poses):
+        ring = i // per_ring
+        a = 2 * np.pi * (i % per_ring) / per_ring
+        ele = np.pi * (ring + 1) / (n_rings + 1) - np.pi / 2
+        p = radius * np.array(
+            [np.cos(ele) * np.cos(a), np.cos(ele) * np.sin(a), np.sin(ele)]
+        )
+        # heading tangent to the ring
+        yaw_aa = np.array([0.0, 0.0, a + np.pi / 2])
+        gt[i] = np.concatenate([p, yaw_aa])
+
+    info = np.zeros(21)
+    it, ir = 1.0 / trans_noise**2, 1.0 / rot_noise**2
+    # row-major upper triangle of diag(it,it,it,ir,ir,ir)
+    diag_idx = [0, 6, 11, 15, 18, 20]
+    vals = [it, it, it, ir, ir, ir]
+    for k, v in zip(diag_idx, vals):
+        info[k] = v
+
+    def noisy_rel(a, b):
+        rel = _np_abs_to_rel_se3(gt[a], gt[b])
+        rel[0:3] += rng.normal(0, trans_noise, 3)
+        rel[3:6] += rng.normal(0, rot_noise, 3)
+        return rel
+
+    lines = []
+    for i in range(1, n_poses):
+        rel = noisy_rel(i - 1, i)
+        lines.append(
+            "EDGE_SE3:AXISANGLE %d %d " % (i - 1, i)
+            + " ".join("%.9f" % x for x in rel)
+            + " "
+            + " ".join("%.6f" % x for x in info)
+        )
+        if i >= per_ring:  # loop closure to the pose below on previous ring
+            j = i - per_ring
+            rel = noisy_rel(j, i)
+            lines.append(
+                "EDGE_SE3:AXISANGLE %d %d " % (j, i)
+                + " ".join("%.9f" % x for x in rel)
+                + " "
+                + " ".join("%.6f" % x for x in info)
+            )
+    return "\n".join(lines) + "\n", gt
+
+
+def make_ba_scene(
+    n_cams: int = 20,
+    n_points: int = 500,
+    obs_per_point: int = 6,
+    pix_noise: float = 1.0,
+    point_init_noise: float = 0.1,
+    cam_init_rot_noise: float = 0.0,
+    seed: int = 0,
+    fx: float = 500.0,
+):
+    """Synthetic BA (venice-like structure): cameras on a ring looking at the
+    origin, Gaussian point cloud; emits VERTEX_CAM / VERTEX_XYZ /
+    EDGE_PROJECT_P2MC.  Ground-truth projections get pixel noise; initial
+    vertex states get perturbation so GN has work to do.
+
+    Returns (g2o_text, (gt_cam_states, gt_points)).
+    """
+    rng = np.random.default_rng(seed)
+    intr = np.array([fx, fx, 320.0, 240.0, 0.0])
+
+    cams_w2c = []  # internal-convention states (world-to-camera, (t, aa))
+    cam_lines = []
+    R_all = []
+    for c in range(n_cams):
+        a = 2 * np.pi * c / n_cams
+        center = np.array([8.0 * np.cos(a), 8.0 * np.sin(a), 2.0])
+        # camera looks at origin: z axis toward -center
+        z = -center / np.linalg.norm(center)
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_c2w = np.stack([x, y, z], axis=1)  # columns are camera axes in world
+        R_w2c = R_c2w.T
+        t_w2c = -R_w2c @ center
+        aa = _np_quat_to_aa(_np_rot_to_quat_np(R_w2c))
+        cams_w2c.append(np.concatenate([t_w2c, aa, intr]))
+        R_all.append(R_w2c)
+        # dataset line carries camera-to-world quaternion + position
+        q_c2w = _np_rot_to_quat_np(R_c2w)
+        cam_lines.append(
+            "VERTEX_CAM %d %.9f %.9f %.9f %.9f %.9f %.9f %.9f %.3f %.3f %.3f %.3f %.6f"
+            % (c, *center, q_c2w[1], q_c2w[2], q_c2w[3], q_c2w[0], *intr)
+        )
+    cams_w2c = np.stack(cams_w2c)
+
+    pts = rng.normal(0, 2.0, (n_points, 3))
+    pt_lines = []
+    obs_lines = []
+    info = 1.0 / pix_noise**2
+    for p in range(n_points):
+        noisy_pt = pts[p] + rng.normal(0, point_init_noise, 3)
+        pt_lines.append(
+            "VERTEX_XYZ %d %.9f %.9f %.9f" % (n_cams + p, *noisy_pt)
+        )
+        cams = rng.choice(n_cams, size=min(obs_per_point, n_cams), replace=False)
+        for c in cams:
+            st = cams_w2c[c]
+            x = R_all[c] @ pts[p] + st[0:3]
+            if x[2] < 0.5:
+                continue
+            u = intr[0] * x[0] / x[2] + intr[2]
+            v = intr[1] * x[1] / x[2] + intr[3]
+            u += rng.normal(0, pix_noise)
+            v += rng.normal(0, pix_noise)
+            obs_lines.append(
+                "EDGE_PROJECT_P2MC %d %d %.6f %.6f %.6f 0.0 %.6f"
+                % (n_cams + p, c, u, v, info, info)
+            )
+    text = "\n".join(cam_lines + pt_lines + obs_lines) + "\n"
+    return text, (cams_w2c, pts)
+
+
+def _np_rot_to_quat_np(R):
+    t = np.trace(R)
+    qw = np.sqrt(max(0.0, 1.0 + t)) / 2.0
+    qx = np.sqrt(max(0.0, 1.0 + R[0, 0] - R[1, 1] - R[2, 2])) / 2.0
+    qy = np.sqrt(max(0.0, 1.0 - R[0, 0] + R[1, 1] - R[2, 2])) / 2.0
+    qz = np.sqrt(max(0.0, 1.0 - R[0, 0] - R[1, 1] + R[2, 2])) / 2.0
+    qx = np.copysign(qx, R[2, 1] - R[1, 2])
+    qy = np.copysign(qy, R[0, 2] - R[2, 0])
+    qz = np.copysign(qz, R[1, 0] - R[0, 1])
+    q = np.array([qw, qx, qy, qz])
+    return q / np.linalg.norm(q)

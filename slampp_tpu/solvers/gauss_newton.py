@@ -1,0 +1,117 @@
+"""Batch Gauss-Newton on the Hessian (the reference's lambda solver,
+``CNonlinearSolver_Lambda``, NonlinearSolver_Lambda.h:44).
+
+Iteration semantics replicate ``Optimize`` (NonlinearSolver_Lambda.h:476-668):
+per iteration, refresh lambda/eta at the current linearization point, solve,
+stop WITHOUT applying if ||dx|| <= min_dx_norm, otherwise retract the states.
+The per-iteration work (assembly + solve + retraction) is one jitted device
+program; the iteration loop stays on host so iteration counts match the
+reference semantics exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import assembly
+from slampp_tpu.graph.system import GraphArrays, GraphSystem
+from slampp_tpu.linear.dense import solve_dense
+from slampp_tpu.utils.timer import PhaseTimer
+
+
+@jax.jit
+def _gn_step(graph: GraphArrays, plan=None):
+    """One GN iteration: returns (new_states, dx_norm, chi2_at_entry).
+
+    With a SchurPlan, the solve eliminates landmarks first (the -us path)."""
+    H, g, chi2 = assembly.assemble_dense(graph)
+    if plan is not None:
+        from slampp_tpu.linear.schur import schur_solve
+
+        dx = schur_solve(H, g, plan)
+    else:
+        dx = solve_dense(H, g)
+    dx_norm = jnp.linalg.norm(dx)
+    new_states = assembly.apply_update(graph, dx)
+    return new_states, dx_norm, chi2
+
+
+@jax.jit
+def _chi2(graph: GraphArrays):
+    return assembly.graph_chi2(graph)
+
+
+class GaussNewtonSolver:
+    """The lambda solver: batch (and every-N incremental) Gauss-Newton."""
+
+    name = "lambda"
+
+    def __init__(
+        self,
+        system: GraphSystem,
+        use_schur: bool = False,
+        verbose: bool = False,
+        pad: bool = False,
+    ):
+        self.system = system
+        self.use_schur = use_schur
+        self.verbose = verbose
+        self.pad = pad
+        self.timer = PhaseTimer()
+        self.n_iterations = 0
+        self._schur_plan = None
+
+    def _plan(self):
+        if not self.use_schur:
+            return None
+        if self._schur_plan is None:
+            from slampp_tpu.linear.schur import build_schur_plan
+
+            with self.timer.phase("schur_symbolic"):
+                self._schur_plan = build_schur_plan(self.system)
+        return self._schur_plan
+
+    def _snapshot(self) -> GraphArrays:
+        with self.timer.phase("snapshot"):
+            return self.system.snapshot(pad=self.pad)
+
+    def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
+        """Run up to ``max_iterations`` GN steps; returns iterations applied."""
+        if self.system.n_edges == 0:
+            return 0
+        graph = self._snapshot()
+        plan = self._plan()
+        applied = 0
+        for _ in range(max_iterations):
+            with self.timer.phase("gn_step"):
+                new_states, dx_norm, chi2 = _gn_step(graph, plan)
+                dx_norm = float(dx_norm)
+            self.n_iterations += 1
+            if self.verbose:
+                print(f"iter {applied}: chi2={float(chi2):.4f} |dx|={dx_norm:.6f}")
+            if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
+                break
+            graph = GraphArrays(
+                new_states,
+                graph.vertex_offsets,
+                graph.edges,
+                graph.state_dim,
+                graph.unary_offset,
+                graph.unary_dim,
+                graph.unary_information,
+            )
+            applied += 1
+        with self.timer.phase("writeback"):
+            self.system.update_states({t: s for t, s in graph.states.items()})
+        return applied
+
+    def chi2(self) -> float:
+        """Denormalized chi-squared at the current linearization point."""
+        return float(_chi2(self._snapshot()))
+
+    def dump(self) -> None:
+        self.timer.dump()
