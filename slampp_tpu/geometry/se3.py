@@ -49,15 +49,20 @@ def axis_angle_to_quat(aa):
 
     Uses sin(a/2)/a with the a->0 limit 0.5; flips sign so w >= 0 (the
     "fmod-free" canonicalization in the reference).
+
+    All small-angle branches work on the *squared* norm with Taylor
+    expansions so autodiff (the solvers' Jacobian path) stays NaN-free at
+    aa = 0 — the untaken sqrt branch would otherwise poison jacfwd.
     """
-    angle = jnp.linalg.norm(aa)
-    small = angle < 1e-12
-    safe = jnp.where(small, 1.0, angle)
-    q_fac = jnp.where(small, 0.5, jnp.sin(safe * 0.5) / safe)
-    c = jnp.cos(angle * 0.5)
-    q_fac = jnp.where(c < 0, -q_fac, q_fac)
+    sq = jnp.sum(aa * aa)
+    small = sq < 1e-16
+    t = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(t)
+    c = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(angle * 0.5))
+    f = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(angle * 0.5) / angle)
+    f = jnp.where(c < 0, -f, f)
     c = jnp.abs(c)
-    q = jnp.concatenate([c[None], aa * q_fac])
+    q = jnp.concatenate([c[None], aa * f])
     return quat_normalize(q)
 
 
@@ -65,32 +70,36 @@ def quat_to_axis_angle(q):
     """Reference: C3DJacobians::f_Quat_to_AxisAngle (3DSolverBase.h:557-651).
 
     half_angle = copysign(atan2(|v|, |w|), w) — the short rotation; the
-    |v|->0 limit returns 2*v.
+    |v|->0 limit is 2*v/|w| (= 2*v for unit quaternions).  Squared-norm
+    Taylor branches keep autodiff NaN-free at v = 0.
     """
     w = q[0]
-    vnorm = jnp.linalg.norm(q[1:])
-    half = jnp.sign(jnp.where(w == 0, 1.0, w)) * jnp.arctan2(vnorm, jnp.abs(w))
-    small = vnorm < 1e-12
-    scale = jnp.where(small, 2.0, 2.0 * half / jnp.where(small, 1.0, vnorm))
-    return q[1:] * scale
+    v = q[1:]
+    sq = jnp.sum(v * v)
+    small = sq < 1e-24
+    t = jnp.where(small, 1.0, sq)
+    vn = jnp.sqrt(t)
+    aw = jnp.abs(w)
+    sgn = jnp.where(w < 0, -1.0, 1.0)
+    scale_big = sgn * 2.0 * jnp.arctan2(vn, aw) / vn
+    aw_safe = jnp.maximum(aw, 1e-12)
+    # atan2(vn, aw)/vn ~ 1/aw - vn^2/(3 aw^3)
+    scale_small = sgn * 2.0 * (1.0 / aw_safe - sq / (3.0 * aw_safe**3))
+    return v * jnp.where(small, scale_small, scale_big)
 
 
 def axis_angle_to_rot(aa):
-    """Rodrigues formula (reference t_AxisAngle_to_RotMatrix, 3DSolverBase.h:292)."""
-    angle = jnp.linalg.norm(aa)
-    small = angle < 1e-12
-    safe = jnp.where(small, 1.0, angle)
-    axis = aa / safe
-    s, c = jnp.sin(angle), jnp.cos(angle)
-    K = jnp.stack(
-        [
-            jnp.stack([jnp.zeros(()), -axis[2], axis[1]]),
-            jnp.stack([axis[2], jnp.zeros(()), -axis[0]]),
-            jnp.stack([-axis[1], axis[0], jnp.zeros(())]),
-        ]
-    )
-    R = jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
-    return jnp.where(small, jnp.eye(3) + _skew(aa), R)
+    """Rodrigues formula (reference t_AxisAngle_to_RotMatrix, 3DSolverBase.h:292),
+    in the smooth sinc form R = I + sinc(a) K + ((1-cos a)/a^2) K^2 with
+    K = skew(aa), Taylor-guarded at a = 0 for autodiff."""
+    sq = jnp.sum(aa * aa)
+    small = sq < 1e-16
+    t = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(t)
+    sinc = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(angle) / angle)
+    cosc = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(angle)) / t)
+    K = _skew(aa)
+    return jnp.eye(3, dtype=aa.dtype) + sinc * K + cosc * (K @ K)
 
 
 def _skew(v):

@@ -206,9 +206,10 @@ class GraphSystem:
         self._edge_count += 1
         if self._unary_anchor is None:
             # the reference derives the unary factor from the first edge
-            # (FlatSystem.h:2653, CBasicUnaryFactorFactory FlatSystem.h:432):
-            # identity information anchoring the first vertex of the first edge
-            self._unary_anchor = vertex_ids[0]
+            # (FlatSystem.h:2653, CBasicUnaryFactorFactory :432) and, with the
+            # default __AUTO_UNARY_FACTOR_ON_VERTEX_ZERO (:337), anchors it on
+            # vertex id 0; fall back to the first edge's first vertex
+            self._unary_anchor = 0 if 0 in vertex_ids else vertex_ids[0]
         self._dirty = True
 
     # ----------------------------------------------------------------- layout

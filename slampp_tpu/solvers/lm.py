@@ -89,6 +89,17 @@ class LevenbergMarquardtSolver:
         self.tau = tau
         self.timer = PhaseTimer()
         self.n_iterations = 0
+        self._schur_plan = None
+
+    def _plan(self):
+        if not self.use_schur:
+            return None
+        if self._schur_plan is None:
+            from slampp_tpu.linear.schur import build_schur_plan
+
+            with self.timer.phase("schur_symbolic"):
+                self._schur_plan = build_schur_plan(self.system)
+        return self._schur_plan
 
     def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
         if self.system.n_edges == 0:
@@ -109,7 +120,7 @@ class LevenbergMarquardtSolver:
                     from slampp_tpu.linear.schur import schur_solve_dense_damped
 
                     new_states, dx, denom, dx_norm = schur_solve_dense_damped(
-                        graph, H, g, alpha
+                        graph, H, g, alpha, self._plan()
                     )
                 else:
                     new_states, dx, denom, dx_norm = _damped_step(graph, H, g, alpha)
