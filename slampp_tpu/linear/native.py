@@ -1,0 +1,119 @@
+"""Native block-sparse Cholesky linear solver — the framework's default for
+pose graphs, like the reference's ``CLinearSolver_UberBlock``
+(include/slam/LinearSolver_UberBlock.h:45).
+
+Pipeline (symbolic cached per graph structure, numeric jitted):
+  host: block adjacency -> min-degree ordering -> symbolic factor + level
+        schedule (core/symbolic.py) -> edge->slot routing (block reduction
+        plan, core/block_assembly.py)
+  device: batched block assembly -> level-scanned factorization ->
+        level-scanned triangular solves -> un-permuted dx.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import block_assembly, ordering as ord_mod, sparse_chol, symbolic
+from slampp_tpu.core.assembly import apply_update, graph_chi2
+from slampp_tpu.graph.system import GraphArrays, GraphSystem
+from slampp_tpu.graph.types import get_edge_type, get_vertex_type
+
+
+class NativeBlockSolver:
+    """Blockwise sparse Cholesky with cached symbolic decomposition
+    (reference SymbolicDecomposition_Blocky, LinearSolver_UberBlock.h:272)."""
+
+    def __init__(self, system: GraphSystem, ordering: str = "min_degree"):
+        self.system = system
+        self.ordering_kind = ordering
+        self._symbolic_key = None
+        self.block_plan: Optional[block_assembly.BlockPlan] = None
+        self.dplan: Optional[sparse_chol.DevicePlan] = None
+
+    def symbolic(self, constrained_last=None) -> None:
+        """(Re)build ordering + symbolic factor + routing for the current
+        graph structure."""
+        system = self.system
+        # block index per free vertex, in insertion (order) sequence
+        offsets, total = system._layout()
+        block_of_vid = {}
+        for b, vid in enumerate(system._vorder):
+            block_of_vid[vid] = b
+        n = len(block_of_vid)
+
+        pairs = set()
+        for tname in system.edge_type_names:
+            et = get_edge_type(tname)
+            for vids in system._edges[tname]["vids"]:
+                bs_ = [block_of_vid.get(v, -1) for v in vids]
+                for x in range(len(bs_)):
+                    for y in range(x + 1, len(bs_)):
+                        if bs_[x] >= 0 and bs_[y] >= 0 and bs_[x] != bs_[y]:
+                            a, b = sorted((bs_[x], bs_[y]))
+                            pairs.add((b, a))
+        pairs = sorted(pairs)
+
+        adj = ord_mod.block_adjacency(n, pairs)
+        if self.ordering_kind == "min_degree":
+            order = ord_mod.min_degree_ordering(adj, constrained_last)
+        elif self.ordering_kind == "nested_dissection":
+            order = ord_mod.nested_dissection_ordering(
+                adj, constrained_last=constrained_last
+            )
+        elif self.ordering_kind == "rcm":
+            order = ord_mod.rcm_ordering(adj)
+        elif self.ordering_kind == "identity":
+            order = ord_mod.identity_ordering(n)
+        else:
+            raise ValueError(self.ordering_kind)
+        inv = ord_mod.inverse_ordering(order)
+
+        ppairs = [(int(inv[i]), int(inv[j])) for i, j in pairs]
+        plan = symbolic.symbolic_cholesky(n, ppairs)
+        self.dplan = sparse_chol.device_plan(plan)
+        self.block_plan = block_assembly.build_block_plan(
+            system, plan.slot_of, plan.diag_slot, plan.nnzb, inv, block_of_vid
+        )
+        self._symbolic_key = (system.n_vertices, system.n_edges)
+
+    def ensure_symbolic(self):
+        key = (self.system.n_vertices, self.system.n_edges)
+        if self._symbolic_key != key:
+            self.symbolic()
+
+    def gn_step(self, graph: GraphArrays):
+        """One jitted GN iteration through the sparse path:
+        (new_states, dx_norm, chi2_at_entry)."""
+        self.ensure_symbolic()
+        return _native_gn_step(graph, self.block_plan, self.dplan)
+
+
+def _native_gn_step_impl(graph: GraphArrays, bp, dp):
+    vals, rhs, chi2 = block_assembly.assemble_blocks(graph, bp)
+    L = sparse_chol.factorize(dp, vals[:-1])
+    x = sparse_chol.solve(dp, L, -rhs[:-1])
+    dx = block_assembly.scatter_dx(bp, x, bp.bs)
+    dx_norm = jnp.linalg.norm(dx)
+    new_states = apply_update(graph, dx)
+    return new_states, dx_norm, chi2
+
+
+# bp (BlockPlan) holds jnp arrays + python ints; treat it as static-by-identity
+# via a per-plan jit cache
+_step_cache: Dict[int, object] = {}
+
+
+def _native_gn_step(graph: GraphArrays, bp, dp):
+    key = id(bp)
+    fn = _step_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda g: _native_gn_step_impl(g, bp, dp))
+        _step_cache[key] = fn
+    return fn(graph)

@@ -56,14 +56,33 @@ class GaussNewtonSolver:
         use_schur: bool = False,
         verbose: bool = False,
         pad: bool = False,
+        linear_solver: str = "auto",
     ):
+        """``linear_solver``: "native" (block-sparse Cholesky, the default for
+        uniform-block pose graphs — reference CLinearSolver_UberBlock),
+        "dense", "schur" (equivalent to use_schur=True), or "auto"."""
         self.system = system
-        self.use_schur = use_schur
+        if use_schur:
+            linear_solver = "schur"
+        self.linear_solver = linear_solver
+        self.use_schur = linear_solver == "schur"
         self.verbose = verbose
         self.pad = pad
         self.timer = PhaseTimer()
         self.n_iterations = 0
         self._schur_plan = None
+        self._native = None
+
+    def _resolve_solver(self) -> str:
+        if self.linear_solver != "auto":
+            return self.linear_solver
+        from slampp_tpu.graph.types import get_vertex_type
+
+        dims = {
+            get_vertex_type(t).dim
+            for t, _ in self.system.vertex_index.values()
+        }
+        return "native" if len(dims) == 1 else "dense"
 
     def _plan(self):
         if not self.use_schur:
@@ -83,12 +102,23 @@ class GaussNewtonSolver:
         """Run up to ``max_iterations`` GN steps; returns iterations applied."""
         if self.system.n_edges == 0:
             return 0
+        kind = self._resolve_solver()
+        if kind == "native":
+            from slampp_tpu.linear.native import NativeBlockSolver
+
+            if self._native is None:
+                self._native = NativeBlockSolver(self.system)
+            with self.timer.phase("symbolic"):
+                self._native.ensure_symbolic()
         graph = self._snapshot()
-        plan = self._plan()
+        plan = self._plan() if kind == "schur" else None
         applied = 0
         for _ in range(max_iterations):
             with self.timer.phase("gn_step"):
-                new_states, dx_norm, chi2 = _gn_step(graph, plan)
+                if kind == "native":
+                    new_states, dx_norm, chi2 = self._native.gn_step(graph)
+                else:
+                    new_states, dx_norm, chi2 = _gn_step(graph, plan)
                 dx_norm = float(dx_norm)
             self.n_iterations += 1
             if self.verbose:
