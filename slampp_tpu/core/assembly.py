@@ -138,6 +138,11 @@ def assemble_dense(graph: GraphArrays) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.nd
         idx = graph.unary_offset + jnp.arange(graph.unary_dim)
         H = H.at[idx, idx].add(graph.unary_information)
 
+    # identity-regularize bucket-padding rows so the padded system stays SPD
+    if graph.diag_reg is not None:
+        d = jnp.arange(N)
+        H = H.at[d, d].add(graph.diag_reg)
+
     return H[:N, :N], g[:N], chi2
 
 

@@ -85,6 +85,9 @@ class GraphArrays:
     unary_offset: int
     unary_dim: int
     unary_information: float
+    # (state_dim,) 1.0 on padding rows (identity-regularized so bucket-padded
+    # dense solves stay SPD), 0.0 on real rows; None when unpadded
+    diag_reg: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         keys_v = sorted(self.states.keys())
@@ -93,6 +96,7 @@ class GraphArrays:
             [self.states[k] for k in keys_v],
             [self.vertex_offsets[k] for k in keys_v],
             [self.edges[k] for k in keys_e],
+            self.diag_reg,
         )
         aux = (keys_v, keys_e, self.state_dim, self.unary_offset, self.unary_dim, self.unary_information)
         return children, aux
@@ -103,7 +107,19 @@ class GraphArrays:
         states = dict(zip(keys_v, children[0]))
         offs = dict(zip(keys_v, children[1]))
         edges = dict(zip(keys_e, children[2]))
-        return cls(states, offs, edges, state_dim, uo, ud, ui)
+        return cls(states, offs, edges, state_dim, uo, ud, ui, children[3])
+
+    def replace_states(self, new_states: Dict[str, jnp.ndarray]) -> "GraphArrays":
+        return GraphArrays(
+            new_states,
+            self.vertex_offsets,
+            self.edges,
+            self.state_dim,
+            self.unary_offset,
+            self.unary_dim,
+            self.unary_information,
+            self.diag_reg,
+        )
 
 
 class GraphSystem:
@@ -268,7 +284,13 @@ class GraphSystem:
         part 4: dynamic growth vs static shapes).
         """
         offsets, total = self._layout()
-        dummy = total  # scatter target row for const/padding contributions
+        if pad:
+            # bucket the scalar dimension too so dense-path shapes quantize;
+            # padding rows get unit diagonal regularization (diag_reg)
+            padded_total = _next_bucket(max(total, 1), self.bucket_granularity)
+        else:
+            padded_total = total
+        dummy = padded_total  # scatter target row for const/padding contributions
 
         states: Dict[str, jnp.ndarray] = {}
         vertex_offsets: Dict[str, jnp.ndarray] = {}
@@ -318,7 +340,15 @@ class GraphSystem:
             ud = get_vertex_type(self.vertex_index[self._unary_anchor][0]).dim
         else:
             uo, ud = dummy, 0
-        return GraphArrays(states, vertex_offsets, edges, total, uo, ud, self.unary_information)
+        diag_reg = None
+        if pad and padded_total > total:
+            dr = np.zeros(padded_total)
+            dr[total:] = 1.0
+            diag_reg = jnp.asarray(dr)
+        return GraphArrays(
+            states, vertex_offsets, edges, padded_total, uo, ud,
+            self.unary_information, diag_reg,
+        )
 
     def update_states(self, new_states: Dict[str, np.ndarray]) -> None:
         """Write back device states (e.g. after Optimize) into the host pools."""

@@ -61,6 +61,7 @@ def _edge_shard_specs(graph: GraphArrays, axis: str):
         unary_offset=graph.unary_offset,
         unary_dim=graph.unary_dim,
         unary_information=graph.unary_information,
+        diag_reg=P() if graph.diag_reg is not None else None,
     )
 
 
@@ -95,6 +96,7 @@ def pad_edges_to_multiple(graph: GraphArrays, m: int) -> GraphArrays:
         graph.unary_offset,
         graph.unary_dim,
         graph.unary_information,
+        graph.diag_reg,
     )
 
 
@@ -140,6 +142,9 @@ def distributed_gn_step(graph: GraphArrays, mesh: Mesh, axis: str = "edges"):
             H = H.at[idx, idx].add(
                 -local_graph.unary_information * (n_shards - 1) / n_shards
             )
+        if local_graph.diag_reg is not None:
+            d = jnp.arange(H.shape[0])
+            H = H.at[d, d].add(-local_graph.diag_reg * (n_shards - 1) / n_shards)
         H = jax.lax.psum(H, axis)
         g = jax.lax.psum(g, axis)
         chi2 = jax.lax.psum(chi2, axis)

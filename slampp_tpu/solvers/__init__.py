@@ -8,3 +8,4 @@ linear solver, then ``optimize(max_iters, min_dx_norm)`` and/or
 from slampp_tpu.solvers.gauss_newton import GaussNewtonSolver
 from slampp_tpu.solvers.lm import LevenbergMarquardtSolver
 from slampp_tpu.solvers.dogleg import DoglegSolver
+from slampp_tpu.solvers.incremental import IncrementalSolver

@@ -89,15 +89,7 @@ class DoglegSolver:
                 dx_norm = float(dx_norm)
             if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
                 break
-            candidate = GraphArrays(
-                new_states,
-                graph.vertex_offsets,
-                graph.edges,
-                graph.state_dim,
-                graph.unary_offset,
-                graph.unary_dim,
-                graph.unary_information,
-            )
+            candidate = graph.replace_states(new_states)
             f_error = float(_chi2(candidate))
             # gain ratio against the quadratic model (x2 since pred models chi2/2)
             rho = (last_error - f_error) / max(2.0 * float(pred), 1e-300)

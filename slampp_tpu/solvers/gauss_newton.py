@@ -125,15 +125,7 @@ class GaussNewtonSolver:
                 print(f"iter {applied}: chi2={float(chi2):.4f} |dx|={dx_norm:.6f}")
             if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
                 break
-            graph = GraphArrays(
-                new_states,
-                graph.vertex_offsets,
-                graph.edges,
-                graph.state_dim,
-                graph.unary_offset,
-                graph.unary_dim,
-                graph.unary_information,
-            )
+            graph = graph.replace_states(new_states)
             applied += 1
         with self.timer.phase("writeback"):
             self.system.update_states({t: s for t, s in graph.states.items()})

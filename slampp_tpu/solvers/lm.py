@@ -127,15 +127,7 @@ class LevenbergMarquardtSolver:
                 dx_norm = float(dx_norm)
             if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
                 break
-            candidate = GraphArrays(
-                new_states,
-                graph.vertex_offsets,
-                graph.edges,
-                graph.state_dim,
-                graph.unary_offset,
-                graph.unary_dim,
-                graph.unary_information,
-            )
+            candidate = graph.replace_states(new_states)
             f_error = float(_chi2(candidate))
             rho = (last_error - f_error) / max(float(denom), 1e-300)
             if rho > 0:
