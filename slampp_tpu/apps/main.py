@@ -1,0 +1,172 @@
+"""slam_plus_plus-compatible CLI.
+
+Capability parity with the reference application (src/slam_app/Main.cpp:42,
+flag surface PrintHelp :593-667, generic driver CTester::Run_and_Shout
+Main.h:1335): auto-detects the problem type by peeking the dataset
+(TDatasetPeeker analog), selects the solver (auto-upgrading lambda -> LM for
+BA, Main.cpp:203-207), supports batch and every-N incremental modes,
+marginals, solution/timing output.
+
+Usage:
+    python -m slampp_tpu.apps.main -i dataset.g2o [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_arg_parser():
+    p = argparse.ArgumentParser(
+        prog="slam_plus_plus",
+        description="TPU-native sparse nonlinear least squares (SLAM++ capability parity)",
+    )
+    p.add_argument("-i", "--input", required=True, help="input dataset (g2o/TORO/SLAM++)")
+    p.add_argument(
+        "-nls",
+        "--nonlinear-solver",
+        default="lambda",
+        choices=["lambda", "lambda-lm", "lambda-dl", "A", "L", "fastL"],
+        help="nonlinear solver (-A/-L/-fL map to the lambda family on TPU)",
+    )
+    p.add_argument("-po", "--pose-only", action="store_true", help="pose-only mode")
+    p.add_argument("-us", "--use-schur", action="store_true", help="Schur complement solve")
+    p.add_argument("-dm", "--do-marginals", action="store_true", help="marginal covariances")
+    p.add_argument("-mnsi", "--max-nonlinear-solve-iters", type=int, default=5)
+    p.add_argument("-nset", "--nonlinear-solve-error-thresh", type=float, default=0.01)
+    p.add_argument("-mfnsi", "--max-final-nonlinear-solve-iters", type=int, default=None)
+    p.add_argument("-fnset", "--final-nonlinear-solve-error-thresh", type=float, default=None)
+    p.add_argument(
+        "-nsp", "--nonlinear-solve-period", type=int, default=0,
+        help="incremental: nonlinear solve every N vertices (0 = batch)",
+    )
+    p.add_argument("-lsp", "--linear-solve-period", type=int, default=0)
+    p.add_argument("-s", "--solution", default="solution.txt", help="solution output file")
+    p.add_argument("-ns", "--no-solution", action="store_true")
+    p.add_argument("-nb", "--no-bitmaps", action="store_true", help="skip plot output")
+    p.add_argument("-p", "--plot", default=None, help="write trajectory plot to this file")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--no-detailed-timing", action="store_true")
+    p.add_argument("--robust", default=None, choices=[None, "huber", "cauchy", "tukey", "fair", "welsch", "logistic", "hampel"])
+    p.add_argument("--json", action="store_true", help="print a JSON result line")
+    p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    return p
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import slampp_tpu  # noqa: F401  (x64)
+    from slampp_tpu.io.parser import build_system, detect_problem, parse_file
+    from slampp_tpu.solvers import (
+        DoglegSolver,
+        GaussNewtonSolver,
+        IncrementalSolver,
+        LevenbergMarquardtSolver,
+    )
+
+    t0 = time.time()
+    records = parse_file(args.input)
+    problem = detect_problem(records[:1000])
+    t_parse = time.time() - t0
+    is_ba = problem.startswith("ba")
+
+    solver_kind = args.nonlinear_solver
+    if solver_kind in ("lambda", "A", "L", "fastL") and is_ba:
+        # the reference auto-upgrades lambda to LM for BA (Main.cpp:203-207)
+        solver_kind = "lambda-lm"
+    use_schur = args.use_schur or is_ba
+
+    t0 = time.time()
+    if args.nonlinear_solve_period > 0 and not is_ba:
+        from slampp_tpu.graph.system import GraphSystem
+
+        system = GraphSystem()
+        inc = IncrementalSolver(
+            system,
+            solve_period=args.nonlinear_solve_period,
+            max_iterations=args.max_nonlinear_solve_iters,
+            min_dx_norm=args.nonlinear_solve_error_thresh,
+            verbose=args.verbose,
+        )
+        build_system(
+            records,
+            problem=problem,
+            system=system,
+            on_edge=lambda s, n: inc.incremental_step(),
+        )
+        solver = inc
+        n_steps = inc.n_solves
+    else:
+        system = build_system(records, problem=problem)
+        if solver_kind == "lambda-lm":
+            solver = LevenbergMarquardtSolver(system, use_schur=use_schur, verbose=args.verbose)
+        elif solver_kind == "lambda-dl":
+            solver = DoglegSolver(system, verbose=args.verbose)
+        else:
+            solver = GaussNewtonSolver(system, use_schur=use_schur, verbose=args.verbose)
+        n_steps = 0
+    t_build = time.time() - t0
+
+    fi = args.max_final_nonlinear_solve_iters
+    ft = args.final_nonlinear_solve_error_thresh
+    t0 = time.time()
+    iters = solver.optimize(
+        fi if fi is not None else args.max_nonlinear_solve_iters,
+        ft if ft is not None else args.nonlinear_solve_error_thresh,
+    )
+    t_solve = time.time() - t0
+    chi2 = solver.chi2()
+
+    print(f"done. it took {t_solve:.5f} sec (solve) + {t_parse + t_build:.5f} sec (parse/build)")
+    print(f"denormalized chi2 error: {chi2:.2f}")
+    if not args.no_detailed_timing:
+        solver.dump()
+
+    if args.do_marginals:
+        from slampp_tpu.marginals import MarginalCovariance
+
+        marg = MarginalCovariance(system)
+        marg.update_batch()
+        d0 = marg.block_diag.get(0)
+        if args.verbose and d0 is not None:
+            print("marginals: vertex-0 covariance diag:", d0.diagonal())
+
+    if not args.no_solution and args.solution:
+        with open(args.solution, "w") as f:
+            offsets, _ = system._layout()
+            for vid in sorted(system.vertex_index):
+                st = system.vertex_state(vid)
+                f.write(" ".join("%.10f" % x for x in st) + "\n")
+
+    if args.plot and not args.no_bitmaps:
+        from slampp_tpu.viz.plot import plot_system
+
+        plot_system(system, args.plot)
+
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "problem": problem,
+                    "solver": solver_kind,
+                    "chi2": chi2,
+                    "iterations": iters,
+                    "incremental_solves": n_steps,
+                    "t_solve": t_solve,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,3 +9,5 @@ parse loop.
 from slampp_tpu.models import se2  # noqa: F401
 from slampp_tpu.models import se3  # noqa: F401
 from slampp_tpu.models import ba  # noqa: F401
+from slampp_tpu.models import sim3  # noqa: F401
+from slampp_tpu.models import robust  # noqa: F401
