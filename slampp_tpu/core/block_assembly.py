@@ -2,13 +2,21 @@
 
 This is the direct analog of the reference's matrix reduction plan
 (``CMatrixReductionPlan``, NonlinearSolver_Lambda_Base.h:524): each edge's
-per-slot-pair Hessian block is routed to a precomputed destination slot in the
-packed block array (with a transpose flag when the permuted order swaps the
-pair), and conflicting contributions are reduced by scatter-add.  The host
-builds the routing once per graph structure (:func:`build_block_plan`); the
-device function (:func:`assemble_blocks`) is shape-static and jit-friendly.
+per-slot-pair Hessian block is routed to a precomputed destination (slot,
+row-offset, col-offset) in the packed panel array (with a transpose flag when
+the permuted order swaps the pair), and conflicting contributions are reduced
+by scatter-add.  The host builds the routing once per graph structure
+(:func:`build_block_plan`); the device function (:func:`assemble_blocks`) is
+shape-static and jit-friendly.
 
-Uniform block size is required — mixed-size problems (BA, 2D landmarks)
+Panel (supernodal) mode: ``panel`` consecutive permuted block-columns are
+amalgamated into one P x P panel (P = panel * bs).  The factorization then
+runs on the much shallower panel elimination tree with MXU-sized dense
+blocks — the TPU replacement for the reference's supernodal backends
+(CHOLMOD) and the key to cutting sequential level count (SURVEY.md §7 hard
+part 1).  ``panel=1`` reduces to plain block granularity.
+
+Uniform fine block size is required — mixed-size problems (BA, 2D landmarks)
 eliminate the landmark types via the Schur solver first, exactly like the
 reference's BA pipeline (SURVEY.md §3.3), leaving a uniform reduced system.
 """
@@ -32,26 +40,39 @@ from slampp_tpu.graph.types import get_edge_type, get_vertex_type
 class EdgeRouting:
     """Per-edge-type device index arrays (host-built)."""
 
-    diag_slots: jnp.ndarray  # (E, arity): slot of each vertex's diag block
-    rhs_rows: jnp.ndarray  # (E, arity): permuted block row for the RHS
-    pair_slots: jnp.ndarray  # (E, n_pairs): off-diag slot
+    # diagonal contributions: slot + within-panel scalar offset, per slot
+    diag_slots: jnp.ndarray  # (E, arity)
+    diag_offs: jnp.ndarray  # (E, arity)
+    # RHS: panel row + within-panel scalar offset
+    rhs_rows: jnp.ndarray  # (E, arity)
+    rhs_offs: jnp.ndarray  # (E, arity)
+    # off-diagonal pair contributions
+    pair_slots: jnp.ndarray  # (E, n_pairs)
+    pair_roffs: jnp.ndarray  # (E, n_pairs)
+    pair_coffs: jnp.ndarray  # (E, n_pairs)
     pair_transpose: jnp.ndarray  # (E, n_pairs) bool
     pairs: Tuple  # ((a, b), ...) slot-index pairs, a < b
 
 
 @dataclasses.dataclass
 class BlockPlan:
-    """Routing for one (graph structure, ordering)."""
+    """Routing for one (graph structure, ordering, panel size)."""
 
-    n: int  # block columns (free vertices)
-    bs: int  # uniform block size
-    nnzb: int
+    n: int  # panel columns
+    bs: int  # fine block size
+    P: int  # panel scalar size = panel * bs
+    nnzb: int  # panel slots in L
     routing: Dict[str, EdgeRouting]
-    anchor_diag_slot: int  # diag slot of the unary-factor anchor (or nnzb)
+    anchor_diag_slot: int  # panel diag slot of the unary anchor (or nnzb)
+    anchor_off: int
+    anchor_dim: int
     unary_information: float
-    # (n, bs) scalar offsets: dx[offsets[p]] = x[p] (for un-permuting)
+    # (n, P) global scalar offset per panel scalar (state_dim = dummy)
     dx_offsets: jnp.ndarray
     state_dim: int
+    # (n,) diag slot per panel + (n, P) 1.0 where the panel scalar is unused
+    panel_diag_slots: jnp.ndarray
+    panel_diag_reg: jnp.ndarray
 
 
 def build_block_plan(
@@ -61,11 +82,15 @@ def build_block_plan(
     nnzb: int,
     inv_order: np.ndarray,
     block_of_vid: Dict[int, int],
+    panel: int = 1,
 ) -> BlockPlan:
-    """Build edge->slot routing given the symbolic factor's slot table.
+    """Build edge->(slot, offsets) routing given the PANEL-granularity
+    symbolic factor's slot table.
 
-    ``block_of_vid`` maps vertex dataset id -> original block index;
-    ``inv_order`` maps original block -> permuted position.
+    ``block_of_vid`` maps vertex dataset id -> original fine block index;
+    ``inv_order`` maps original fine block -> permuted fine position; the
+    permuted fine position p maps to panel ``p // panel`` at within-offset
+    ``(p % panel) * bs``.
     """
     offsets, total = system._layout()
     vt_names = {t for t, _ in system.vertex_index.values()}
@@ -73,7 +98,14 @@ def build_block_plan(
     if len(dims) != 1:
         raise ValueError(f"uniform block size required, got dims {dims}")
     bs = dims.pop()
-    n = len(block_of_vid)
+    P = panel * bs
+    n_fine = len(block_of_vid)
+    n_panels = (n_fine + panel - 1) // panel
+
+    def loc(vid):
+        """vertex id -> (panel, within scalar offset) in permuted coords."""
+        p = int(inv_order[block_of_vid[vid]])
+        return p // panel, (p % panel) * bs
 
     routing: Dict[str, EdgeRouting] = {}
     for tname in system.edge_type_names:
@@ -83,73 +115,107 @@ def build_block_plan(
         arity = et.arity
         pairs = tuple((a, b) for a in range(arity) for b in range(a + 1, arity))
         dslots = np.full((E, arity), nnzb, np.int64)
-        rrows = np.full((E, arity), n, np.int64)
+        doffs = np.zeros((E, arity), np.int64)
+        rrows = np.full((E, arity), n_panels, np.int64)
+        roffs = np.zeros((E, arity), np.int64)
         pslots = np.full((E, len(pairs)), nnzb, np.int64)
+        proffs = np.zeros((E, len(pairs)), np.int64)
+        pcoffs = np.zeros((E, len(pairs)), np.int64)
         ptrans = np.zeros((E, len(pairs)), bool)
         for e, vids in enumerate(rec["vids"]):
-            pblocks = []
+            locs = []
             for s, vid in enumerate(vids):
                 if vid in block_of_vid:
-                    p = int(inv_order[block_of_vid[vid]])
-                    pblocks.append(p)
-                    dslots[e, s] = diag_slot[p]
-                    rrows[e, s] = p
+                    pan, w = loc(vid)
+                    locs.append((pan, w))
+                    dslots[e, s] = diag_slot[pan]
+                    doffs[e, s] = w
+                    rrows[e, s] = pan
+                    roffs[e, s] = w
                 else:
-                    pblocks.append(-1)  # const vertex
+                    locs.append(None)  # const vertex
             for k, (a, b) in enumerate(pairs):
-                pa, pb = pblocks[a], pblocks[b]
-                if pa < 0 or pb < 0:
+                if locs[a] is None or locs[b] is None:
                     continue
-                if pa >= pb:
+                (pa, wa), (pb, wb) = locs[a], locs[b]
+                if pa == pb:
+                    # within one diagonal panel: store in the LOWER triangle
+                    # (the unrolled panel Cholesky reads only the lower part)
+                    if wa >= wb:
+                        pslots[e, k] = diag_slot[pa]
+                        proffs[e, k], pcoffs[e, k] = wa, wb
+                        ptrans[e, k] = False
+                    else:
+                        pslots[e, k] = diag_slot[pa]
+                        proffs[e, k], pcoffs[e, k] = wb, wa
+                        ptrans[e, k] = True
+                elif pa > pb:
                     pslots[e, k] = slot_of[(pa, pb)]
-                    ptrans[e, k] = False  # store J_a^T W J_b at (pa, pb)
+                    proffs[e, k], pcoffs[e, k] = wa, wb
+                    ptrans[e, k] = False
                 else:
                     pslots[e, k] = slot_of[(pb, pa)]
-                    ptrans[e, k] = True  # store (J_a^T W J_b)^T = J_b^T W J_a
+                    proffs[e, k], pcoffs[e, k] = wb, wa
+                    ptrans[e, k] = True
         routing[tname] = EdgeRouting(
             diag_slots=jnp.asarray(dslots, jnp.int32),
+            diag_offs=jnp.asarray(doffs, jnp.int32),
             rhs_rows=jnp.asarray(rrows, jnp.int32),
+            rhs_offs=jnp.asarray(roffs, jnp.int32),
             pair_slots=jnp.asarray(pslots, jnp.int32),
+            pair_roffs=jnp.asarray(proffs, jnp.int32),
+            pair_coffs=jnp.asarray(pcoffs, jnp.int32),
             pair_transpose=jnp.asarray(ptrans),
             pairs=pairs,
         )
 
     anchor = system._unary_anchor
     if anchor is not None and anchor in block_of_vid:
-        anchor_slot = int(diag_slot[int(inv_order[block_of_vid[anchor]])])
+        pan, w = loc(anchor)
+        anchor_slot, anchor_off = int(diag_slot[pan]), int(w)
     else:
-        anchor_slot = nnzb
+        anchor_slot, anchor_off = nnzb, 0
+    anchor_dim = bs
 
-    # permuted block p -> original scalar offset
+    # un-permutation of the solution + unused-scalar regularization mask
     order = np.empty_like(inv_order)
     order[inv_order] = np.arange(len(inv_order))
     vid_of_block = {b: v for v, b in block_of_vid.items()}
-    dx_off = np.full((n, bs), total, np.int64)
-    for p in range(n):
+    dx_off = np.full((n_panels, P), total, np.int64)
+    reg = np.ones((n_panels, P))
+    for p in range(n_fine):
+        pan, w = p // panel, (p % panel) * bs
         vid = vid_of_block[int(order[p])]
         o = offsets[vid]
-        dx_off[p] = o + np.arange(bs)
+        dx_off[pan, w : w + bs] = o + np.arange(bs)
+        reg[pan, w : w + bs] = 0.0
     return BlockPlan(
-        n=n,
+        n=n_panels,
         bs=bs,
+        P=P,
         nnzb=nnzb,
         routing=routing,
         anchor_diag_slot=anchor_slot,
+        anchor_off=anchor_off,
+        anchor_dim=anchor_dim,
         unary_information=system.unary_information,
         dx_offsets=jnp.asarray(dx_off, jnp.int32),
         state_dim=total,
+        panel_diag_slots=jnp.asarray(diag_slot, jnp.int32),
+        panel_diag_reg=jnp.asarray(reg),
     )
 
 
 def assemble_blocks(graph: GraphArrays, bp: BlockPlan):
-    """Device: (vals (nnzb+1, bs, bs), rhs (n+1, bs), chi2) — the packed
-    lower-triangular lambda in the permuted L structure, plus g and chi2.
+    """Device: (vals (nnzb+1, P, P), rhs (n+1, P), chi2) — the packed
+    lower-triangular lambda in the permuted panel structure, plus g and chi2.
     The +1 rows are scatter dummies (dropped by the caller via slicing)."""
-    bs = bp.bs
+    bs, P = bp.bs, bp.P
     dtype = graph.states[next(iter(graph.states))].dtype
-    vals = jnp.zeros((bp.nnzb + 1, bs, bs), dtype)
-    rhs = jnp.zeros((bp.n + 1, bs), dtype)
+    vals = jnp.zeros((bp.nnzb + 1, P, P), dtype)
+    rhs = jnp.zeros((bp.n + 1, P), dtype)
     chi2 = jnp.zeros((), dtype)
+    br = jnp.arange(bs)
 
     for name, ea in graph.edges.items():
         et = get_edge_type(name)
@@ -173,26 +239,41 @@ def assemble_blocks(graph: GraphArrays, bp: BlockPlan):
         mask3 = ea.valid[:, None, None]
         mask2 = ea.valid[:, None]
         for a in range(et.arity):
-            Haa = jnp.einsum("eij,eik->ejk", jacs[a], WJ[a])
-            vals = vals.at[rt.diag_slots[:, a]].add(jnp.where(mask3, Haa, 0.0))
-            ga = jnp.einsum("eij,ei->ej", WJ[a], r)
-            rhs = rhs.at[rt.rhs_rows[:, a]].add(jnp.where(mask2, ga, 0.0))
+            Haa = jnp.where(mask3, jnp.einsum("eij,eik->ejk", jacs[a], WJ[a]), 0.0)
+            rr = rt.diag_offs[:, a, None] + br[None, :]
+            vals = vals.at[
+                rt.diag_slots[:, a, None, None], rr[:, :, None], rr[:, None, :]
+            ].add(Haa)
+            ga = jnp.where(mask2, jnp.einsum("eij,ei->ej", WJ[a], r), 0.0)
+            ro = rt.rhs_offs[:, a, None] + br[None, :]
+            rhs = rhs.at[rt.rhs_rows[:, a, None], ro].add(ga)
         for k, (a, b) in enumerate(rt.pairs):
             Hab = jnp.einsum("eij,eik->ejk", jacs[a], WJ[b])
             Hab = jnp.where(
                 rt.pair_transpose[:, k][:, None, None], jnp.swapaxes(Hab, 1, 2), Hab
             )
-            vals = vals.at[rt.pair_slots[:, k]].add(jnp.where(mask3, Hab, 0.0))
+            Hab = jnp.where(mask3, Hab, 0.0)
+            rr = rt.pair_roffs[:, k, None] + br[None, :]
+            cc = rt.pair_coffs[:, k, None] + br[None, :]
+            vals = vals.at[
+                rt.pair_slots[:, k, None, None], rr[:, :, None], cc[:, None, :]
+            ].add(Hab)
 
     if bp.anchor_diag_slot < bp.nnzb:
-        vals = vals.at[bp.anchor_diag_slot].add(
-            bp.unary_information * jnp.eye(bs, dtype=dtype)
-        )
+        idx = bp.anchor_off + jnp.arange(bp.anchor_dim)
+        vals = vals.at[bp.anchor_diag_slot, idx, idx].add(bp.unary_information)
+
+    # unit-regularize unused scalars in partial panels so the panel Cholesky
+    # stays SPD (their dx components solve to 0 and are dropped)
+    dd = jnp.arange(P)
+    vals = vals.at[bp.panel_diag_slots[:, None], dd[None, :], dd[None, :]].add(
+        bp.panel_diag_reg
+    )
     return vals, rhs, chi2
 
 
 def scatter_dx(bp: BlockPlan, x: jnp.ndarray, dmax: int) -> jnp.ndarray:
-    """Un-permute the block solution (n, bs) into the global dx vector."""
-    dx = jnp.zeros((bp.state_dim + dmax,), x.dtype)
+    """Un-permute the panel solution (n, P) into the global dx vector."""
+    dx = jnp.zeros((bp.state_dim + max(dmax, bp.P)), x.dtype)
     dx = dx.at[bp.dx_offsets].set(x)
     return dx[: bp.state_dim]

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from slampp_tpu.ops import small_blocks
+
 
 class DevicePlan(NamedTuple):
     """CholeskyPlan index arrays as device arrays (a pytree)."""
@@ -90,20 +92,30 @@ def factorize(dp: DevicePlan, vals: jnp.ndarray) -> jnp.ndarray:
         upd = jnp.einsum("eij,ekj->eik", a, b)
         mask = (upd_dst < dp.nnzb)[:, None, None]
         vals = vals.at[upd_dst].add(jnp.where(mask, -upd, 0.0))
-        # (b) diagonal factorization, batched
+        # (b) diagonal factorization — unrolled small-block kernel for tiny
+        # blocks (the FBS analog; XLA's generic batched cholesky is
+        # loop-bound on TPU), blocked LAPACK-style for panels
         D = vals[lvl_diag]
         Dq = jnp.where((lvl_diag < dp.nnzb)[:, None, None], D, eye[None])
-        Lj = lax.linalg.cholesky(Dq)
+        if bs <= 8:
+            Lj = small_blocks.cholesky_small(Dq)
+        else:
+            # only the lower triangle of a diagonal panel is assembled/updated
+            # meaningfully — do NOT symmetrize with the garbage upper part
+            Lj = lax.linalg.cholesky(Dq, symmetrize_input=False)
         vals = vals.at[lvl_diag].set(Lj)
-        # (c) column solve: L[i,j] = W[i,j] @ Lj^-T  (solve X Lj^T = W)
+        # (c) column solve: L[i,j] = W[i,j] @ Lj^-T
         W = vals[lvl_offd]
         Dj = vals[lvl_offd_diag]
         Djq = jnp.where((lvl_offd_diag < dp.nnzb)[:, None, None], Dj, eye[None])
-        # X = W @ Lj^{-T}: solve Lj X^T = W^T -> X^T = Lj^{-1} W^T
-        Xt = lax.linalg.triangular_solve(
-            Djq, jnp.swapaxes(W, 1, 2), left_side=True, lower=True
-        )
-        vals = vals.at[lvl_offd].set(jnp.swapaxes(Xt, 1, 2))
+        if bs <= 8:
+            X = small_blocks.solve_triangular_right_transpose_small(W, Djq)
+        else:
+            Xt = lax.linalg.triangular_solve(
+                Djq, jnp.swapaxes(W, 1, 2), left_side=True, lower=True
+            )
+            X = jnp.swapaxes(Xt, 1, 2)
+        vals = vals.at[lvl_offd].set(X)
         # keep the dummy slot = I
         vals = vals.at[dp.nnzb].set(eye)
         return vals, None
@@ -141,7 +153,12 @@ def solve(dp: DevicePlan, Lvals: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # triangular solve on this level's columns
         cs = jnp.where(cols < dp.n, cols, dp.n)
         Dj = Lp[diag_for_col[cs]]
-        yj = lax.linalg.triangular_solve(Dj, y[cs][..., None], left_side=True, lower=True)[..., 0]
+        if bs <= 8:
+            yj = small_blocks.solve_lower_small(Dj, y[cs])
+        else:
+            yj = lax.linalg.triangular_solve(
+                Dj, y[cs][..., None], left_side=True, lower=True
+            )[..., 0]
         y = y.at[cs].set(yj)
         return y, None
 
@@ -160,9 +177,12 @@ def solve(dp: DevicePlan, Lvals: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         x = x.at[dsts].add(-contrib)
         cs = jnp.where(cols < dp.n, cols, dp.n)
         Dj = Lp[diag_for_col[cs]]
-        xj = lax.linalg.triangular_solve(
-            Dj, x[cs][..., None], left_side=True, lower=True, transpose_a=True
-        )[..., 0]
+        if bs <= 8:
+            xj = small_blocks.solve_lower_transpose_small(Dj, x[cs])
+        else:
+            xj = lax.linalg.triangular_solve(
+                Dj, x[cs][..., None], left_side=True, lower=True, transpose_a=True
+            )[..., 0]
         x = x.at[cs].set(xj)
         return x, None
 

@@ -30,9 +30,15 @@ class NativeBlockSolver:
     """Blockwise sparse Cholesky with cached symbolic decomposition
     (reference SymbolicDecomposition_Blocky, LinearSolver_UberBlock.h:272)."""
 
-    def __init__(self, system: GraphSystem, ordering: str = "min_degree"):
+    def __init__(
+        self, system: GraphSystem, ordering: str = "min_degree", panel: int = 1
+    ):
+        """``panel`` > 1 enables supernodal panel amalgamation: groups of
+        ``panel`` consecutive ordered block-columns factor as dense P x P
+        panels (P = panel*bs) on a much shallower elimination tree."""
         self.system = system
         self.ordering_kind = ordering
+        self.panel = panel
         self._symbolic_key = None
         self.block_plan: Optional[block_assembly.BlockPlan] = None
         self.dplan: Optional[sparse_chol.DevicePlan] = None
@@ -75,11 +81,21 @@ class NativeBlockSolver:
             raise ValueError(self.ordering_kind)
         inv = ord_mod.inverse_ordering(order)
 
-        ppairs = [(int(inv[i]), int(inv[j])) for i, j in pairs]
-        plan = symbolic.symbolic_cholesky(n, ppairs)
+        # coarsen the permuted pairs to panel granularity (supernodal
+        # amalgamation of `panel` consecutive ordered columns)
+        p = self.panel
+        n_panels = (n + p - 1) // p
+        ppairs = sorted(
+            {
+                (int(inv[i]) // p, int(inv[j]) // p)
+                for i, j in pairs
+                if int(inv[i]) // p != int(inv[j]) // p
+            }
+        )
+        plan = symbolic.symbolic_cholesky(n_panels, ppairs)
         self.dplan = sparse_chol.device_plan(plan)
         self.block_plan = block_assembly.build_block_plan(
-            system, plan.slot_of, plan.diag_slot, plan.nnzb, inv, block_of_vid
+            system, plan.slot_of, plan.diag_slot, plan.nnzb, inv, block_of_vid, panel=p
         )
         self._symbolic_key = (system.n_vertices, system.n_edges)
 

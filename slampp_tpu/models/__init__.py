@@ -11,3 +11,4 @@ from slampp_tpu.models import se3  # noqa: F401
 from slampp_tpu.models import ba  # noqa: F401
 from slampp_tpu.models import sim3  # noqa: F401
 from slampp_tpu.models import robust  # noqa: F401
+from slampp_tpu.models import rocv  # noqa: F401

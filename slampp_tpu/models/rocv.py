@@ -1,0 +1,100 @@
+"""Range-only constant-velocity (ROCV) navigation types and the Spheron
+spherical-camera types.
+
+Reference: include/slam/ROCV_Types.h (CVertexPositionVelocity3D :31,
+range edge CEdgePosVel_Landmark3D :78, landmark prior :228, const-velocity
+process edge :326) and the Spheron problem (CVertexSpheron BA_Types.h:297,
+CEdgeSpheronXYZ :996 — a 6-DoF pose observing XYZ landmarks in its local
+frame, i.e. spherical stereo).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from slampp_tpu.geometry import se3
+from slampp_tpu.graph.types import (
+    EdgeType,
+    VertexType,
+    register_edge_type,
+    register_vertex_type,
+)
+
+POSVEL3D = register_vertex_type(
+    VertexType(name="posvel3d", dim=6, retract=lambda x, d: x + d)
+)
+
+SPHERON = register_vertex_type(
+    VertexType(name="spheron", dim=6, retract=se3.plus)
+)
+
+
+def _range_error(xs, z):
+    """1-D range residual: z - ||p - l|| (CEdgePosVel_Landmark3D)."""
+    pv, lm = xs
+    d = pv[0:3] - lm
+    return z - jnp.linalg.norm(d)[None]
+
+
+def _const_velocity_error(xs, z):
+    """Constant-velocity process edge: 6-D residual
+    (p_cur - (p_prev + v_prev dt), v_cur - v_prev); measurement = dt
+    (CEdgeConstVelocity3D, 6D-residual variant)."""
+    prev, cur = xs
+    dt = z[0]
+    pos_res = cur[0:3] - (prev[0:3] + prev[3:6] * dt)
+    vel_res = cur[3:6] - prev[3:6]
+    return jnp.concatenate([pos_res, vel_res])
+
+
+def _landmark_prior_error(xs, z):
+    """Absolute landmark position prior (CEdgeLandmark3DPrior)."""
+    (lm,) = xs
+    return z - lm
+
+
+def _spheron_xyz_error(xs, z):
+    """CEdgeSpheronXYZ (BA_Types.h:1127-1150): landmark expressed in the
+    spheron pose's local frame, plain z - h."""
+    return se3.pose_landmark_error(xs[0], xs[1], z)
+
+
+EDGE_ROCV_RANGE = register_edge_type(
+    EdgeType(
+        name="edge_rocv_range",
+        vertex_types=("posvel3d", "landmark3d"),
+        res_dim=1,
+        meas_dim=1,
+        error_fn=_range_error,
+    )
+)
+
+EDGE_ROCV_CONST_VEL = register_edge_type(
+    EdgeType(
+        name="edge_rocv_const_vel",
+        vertex_types=("posvel3d", "posvel3d"),
+        res_dim=6,
+        meas_dim=1,
+        error_fn=_const_velocity_error,
+    )
+)
+
+EDGE_LANDMARK3D_PRIOR = register_edge_type(
+    EdgeType(
+        name="edge_landmark3d_prior",
+        vertex_types=("landmark3d",),
+        res_dim=3,
+        meas_dim=3,
+        error_fn=_landmark_prior_error,
+    )
+)
+
+EDGE_SPHERON_XYZ = register_edge_type(
+    EdgeType(
+        name="edge_spheron_xyz",
+        vertex_types=("spheron", "landmark3d"),
+        res_dim=3,
+        meas_dim=3,
+        error_fn=_spheron_xyz_error,
+    )
+)
