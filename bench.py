@@ -28,14 +28,15 @@ import jax  # noqa: E402
 
 from slampp_tpu.io.datasets import make_manhattan  # noqa: E402
 from slampp_tpu.io.parser import parse_file, build_system  # noqa: E402
-from slampp_tpu.solvers import GaussNewtonSolver  # noqa: E402
-from slampp_tpu.solvers.gauss_newton import _gn_step  # noqa: E402
+from slampp_tpu.linear.native import NativeBlockSolver  # noqa: E402
 
 
 def main():
     import tempfile
 
     n_poses = int(os.environ.get("BENCH_POSES", "3500"))
+    panel = int(os.environ.get("BENCH_PANEL", "8"))
+    mixed = os.environ.get("BENCH_F64", "") == ""  # default: mixed precision
     text, gt = make_manhattan(n_poses=n_poses, loop_prob=0.1, seed=0)
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
         f.write(text)
@@ -45,22 +46,36 @@ def main():
     finally:
         os.unlink(path)
 
-    solver = GaussNewtonSolver(system)
+    # native block-sparse Cholesky path: supernodal panels + f32 factor with
+    # f64 iterative refinement (converges to identical chi2, see tests)
+    ns = NativeBlockSolver(
+        system, panel=panel, mixed_precision=mixed, refine_iters=1
+    )
+    t0 = time.perf_counter()
+    ns.symbolic()
+    t_symbolic = time.perf_counter() - t0
+
     graph = system.snapshot()
 
-    # compile + correctness: run the full 5-iteration batch solve
+    # full 5-iteration batch solve (reference semantics), timing compilation
     t0 = time.perf_counter()
-    solver.optimize(max_iterations=5, min_dx_norm=0.01)
-    t_first = time.perf_counter() - t0
-    chi2 = solver.chi2()
+    g = graph
+    chi2 = None
+    for _ in range(5):
+        states, dx_norm, chi2 = ns.gn_step(g)
+        if float(dx_norm) <= 0.01:
+            break
+        g = g.replace_states(states)
+    from slampp_tpu.core.assembly import graph_chi2
 
-    # steady-state iterations/sec: time jitted GN steps back-to-back
-    new_states, dx_norm, _ = _gn_step(graph)  # warm cache for this shape
-    jax.block_until_ready(dx_norm)
+    chi2_final = float(jax.jit(graph_chi2)(g))
+    t_first = time.perf_counter() - t0
+
+    # steady-state iterations/sec: jitted GN steps back-to-back
     n_timed = 10
     t0 = time.perf_counter()
     for _ in range(n_timed):
-        new_states, dx_norm, _ = _gn_step(graph)
+        states, dx_norm, chi2 = ns.gn_step(graph)
     jax.block_until_ready(dx_norm)
     dt = time.perf_counter() - t0
     iters_per_sec = n_timed / dt
@@ -74,11 +89,14 @@ def main():
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_sec / ref_iters_per_sec, 3),
                 "extra": {
-                    "chi2_final": round(float(chi2), 2),
+                    "chi2_final": round(chi2_final, 2),
                     "chi2_dof": system.chi2_dof(),
                     "first_solve_s": round(t_first, 3),
+                    "symbolic_s": round(t_symbolic, 3),
                     "n_poses": n_poses,
                     "n_edges": system.n_edges,
+                    "panel": panel,
+                    "mixed_precision": mixed,
                     "device": str(jax.devices()[0]),
                 },
             }

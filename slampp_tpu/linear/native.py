@@ -31,14 +31,24 @@ class NativeBlockSolver:
     (reference SymbolicDecomposition_Blocky, LinearSolver_UberBlock.h:272)."""
 
     def __init__(
-        self, system: GraphSystem, ordering: str = "min_degree", panel: int = 1
+        self,
+        system: GraphSystem,
+        ordering: str = "min_degree",
+        panel: int = 1,
+        mixed_precision: bool = False,
+        refine_iters: int = 2,
     ):
         """``panel`` > 1 enables supernodal panel amalgamation: groups of
         ``panel`` consecutive ordered block-columns factor as dense P x P
-        panels (P = panel*bs) on a much shallower elimination tree."""
+        panels (P = panel*bs) on a much shallower elimination tree.
+        ``mixed_precision`` factors in f32 with static damping + f64
+        iterative refinement — the fast path on TPU, where f64 matmuls are
+        emulated (SURVEY.md §7 hard part 3)."""
         self.system = system
         self.ordering_kind = ordering
         self.panel = panel
+        self.mixed_precision = mixed_precision
+        self.refine_iters = refine_iters
         self._symbolic_key = None
         self.block_plan: Optional[block_assembly.BlockPlan] = None
         self.dplan: Optional[sparse_chol.DevicePlan] = None
@@ -108,13 +118,18 @@ class NativeBlockSolver:
         """One jitted GN iteration through the sparse path:
         (new_states, dx_norm, chi2_at_entry)."""
         self.ensure_symbolic()
-        return _native_gn_step(graph, self.block_plan, self.dplan)
+        return _native_gn_step(
+            graph, self.block_plan, self.dplan, self.mixed_precision, self.refine_iters
+        )
 
 
-def _native_gn_step_impl(graph: GraphArrays, bp, dp):
+def _native_gn_step_impl(graph: GraphArrays, bp, dp, mixed: bool, refine: int):
     vals, rhs, chi2 = block_assembly.assemble_blocks(graph, bp)
-    L = sparse_chol.factorize(dp, vals[:-1])
-    x = sparse_chol.solve(dp, L, -rhs[:-1])
+    if mixed:
+        x = sparse_chol.solve_refined(dp, vals[:-1], -rhs[:-1], refine_iters=refine)
+    else:
+        L = sparse_chol.factorize(dp, vals[:-1])
+        x = sparse_chol.solve(dp, L, -rhs[:-1])
     dx = block_assembly.scatter_dx(bp, x, bp.bs)
     dx_norm = jnp.linalg.norm(dx)
     new_states = apply_update(graph, dx)
@@ -126,10 +141,10 @@ def _native_gn_step_impl(graph: GraphArrays, bp, dp):
 _step_cache: Dict[int, object] = {}
 
 
-def _native_gn_step(graph: GraphArrays, bp, dp):
-    key = id(bp)
+def _native_gn_step(graph: GraphArrays, bp, dp, mixed: bool = False, refine: int = 2):
+    key = (id(bp), mixed, refine)
     fn = _step_cache.get(key)
     if fn is None:
-        fn = jax.jit(lambda g: _native_gn_step_impl(g, bp, dp))
+        fn = jax.jit(lambda g: _native_gn_step_impl(g, bp, dp, mixed, refine))
         _step_cache[key] = fn
     return fn(graph)

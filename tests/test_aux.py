@@ -1,0 +1,109 @@
+"""Auxiliary-subsystem tests: checkpoint/resume, eigenvalues, FLOP
+accounting, memory usage, mixed-precision solves."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import assembly
+from slampp_tpu.io.datasets import make_manhattan
+from slampp_tpu.io.parser import build_system, parse_file
+from slampp_tpu.solvers import GaussNewtonSolver
+
+
+def _system(n=80, seed=3):
+    text, _ = make_manhattan(
+        n_poses=n, loop_prob=0.5, loop_separation=10, loop_radius=4.0, seed=seed
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        return build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from slampp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    system = _system()
+    GaussNewtonSolver(system).optimize(3, 0.01)
+    chi2_before = GaussNewtonSolver(system).chi2()
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, system, extra={"round": 1})
+    system2, extra = load_checkpoint(path)
+    assert extra == {"round": 1}
+    assert system2.n_vertices == system.n_vertices
+    assert system2.n_edges == system.n_edges
+    assert system2.state_dim == system.state_dim
+    chi2_after = GaussNewtonSolver(system2).chi2()
+    assert abs(chi2_after - chi2_before) < 1e-9
+    # continued optimization behaves identically
+    GaussNewtonSolver(system2).optimize(5, 1e-8)
+    GaussNewtonSolver(system).optimize(5, 1e-8)
+    for vid in (0, 10, 40):
+        np.testing.assert_allclose(
+            system2.vertex_state(vid), system.vertex_state(vid), atol=1e-10
+        )
+
+
+def test_eigenvalues_match_numpy():
+    from slampp_tpu.eval.eigenvalues import (
+        largest_eigenvalues,
+        smallest_eigenvalues_shift_invert,
+    )
+
+    system = _system(n=40)
+    GaussNewtonSolver(system).optimize(5, 0.01)
+    H, _, _ = jax.jit(assembly.assemble_dense)(system.snapshot())
+    w = np.linalg.eigvalsh(np.array(H))
+    lmax, _ = largest_eigenvalues(H, k=1, iters=80)
+    np.testing.assert_allclose(float(lmax[0]), w[-1], rtol=1e-6)
+    lmin, _ = smallest_eigenvalues_shift_invert(H, k=1, iters=80)
+    np.testing.assert_allclose(float(lmin[0]), w[0], rtol=1e-6)
+
+
+def test_flop_accounting():
+    from slampp_tpu.utils.flops import flops
+
+    a = jnp.ones((64, 64))
+    f = flops(lambda x: x @ x, a)
+    # 64^3 * 2 = 524288 flops for a matmul
+    assert f == pytest.approx(2 * 64**3, rel=0.1)
+
+
+def test_memusage():
+    from slampp_tpu.utils.memusage import format_memory_report, process_memory_usage
+
+    assert process_memory_usage() > 1e6
+    assert "RSS" in format_memory_report()
+
+
+def test_mixed_precision_gn_reaches_f64_optimum():
+    """f32-factor + equilibration + refinement converges to the identical
+    chi2 as the f64 path (the bench configuration's correctness contract)."""
+    from slampp_tpu.linear.native import NativeBlockSolver
+
+    system = _system(n=120, seed=6)
+
+    def run(mix):
+        graph = system.snapshot()
+        ns = NativeBlockSolver(system, panel=8, mixed_precision=mix, refine_iters=1)
+        ns.symbolic()
+        for _ in range(10):
+            states, norm, chi2 = ns.gn_step(graph)
+            if float(norm) <= 1e-6:
+                break
+            graph = graph.replace_states(states)
+        return float(jax.jit(assembly.graph_chi2)(graph))
+
+    chi2_64 = run(False)
+    chi2_mixed = run(True)
+    assert abs(chi2_mixed - chi2_64) < 1e-6 * max(1.0, chi2_64)
