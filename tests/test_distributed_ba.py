@@ -1,0 +1,65 @@
+"""Distributed (landmark-sharded) Schur BA vs the single-device path."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import assembly
+from slampp_tpu.io.datasets import make_ba_scene
+from slampp_tpu.io.parser import build_system, parse_file
+from slampp_tpu.linear.schur import build_schur_plan, schur_solve
+from slampp_tpu.parallel.distributed import make_mesh
+from slampp_tpu.parallel.distributed_ba import build_ba_shards, distributed_ba_lm_step
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_distributed_ba_step_matches_single_device():
+    text, _ = make_ba_scene(n_cams=6, n_points=64, obs_per_point=4, seed=2)
+    with tempfile.NamedTemporaryFile("w", suffix=".g2o", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    alpha = 1e-2
+
+    # single-device reference: dense assembly + Schur with identical damping
+    graph = system.snapshot()
+    H, g, chi2_ref = jax.jit(assembly.assemble_dense)(graph)
+    plan = build_schur_plan(system)
+    dx_ref = schur_solve(H, g, plan, alpha=alpha)
+
+    mesh = make_mesh(len(jax.devices()), axis="lm")
+    shards = build_ba_shards(system, mesh)
+    new_cams, new_lms, dx_norm, chi2, denom = distributed_ba_lm_step(
+        shards, mesh, alpha
+    )
+
+    assert abs(float(chi2) - float(chi2_ref)) < 1e-6 * float(chi2_ref)
+    np.testing.assert_allclose(
+        float(dx_norm), float(jnp.linalg.norm(dx_ref)), rtol=1e-8
+    )
+
+    # states must match the single-device update exactly
+    ref_states = assembly.apply_update(graph, dx_ref)
+    cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
+    lm_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "xyz")
+    cams_np = np.asarray(new_cams)
+    lms_np = np.asarray(new_lms)
+    for i, v in enumerate(cam_ids):
+        _, li = system.vertex_index[v]
+        np.testing.assert_allclose(
+            cams_np[i], np.asarray(ref_states["cam"][li]), atol=1e-9
+        )
+    for i, v in enumerate(lm_ids):
+        _, li = system.vertex_index[v]
+        np.testing.assert_allclose(
+            lms_np[i], np.asarray(ref_states["xyz"][li]), atol=1e-9
+        )
