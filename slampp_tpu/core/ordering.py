@@ -57,8 +57,16 @@ def min_degree_ordering(
     ``constrained_last`` pins the given blocks to the end of the ordering —
     the reference's CLastElementOrderingConstraint (OrderingMagic.h:138) used
     for marginals (last pose last) and incremental updates.
+
+    Uses the native C++ implementation (native/libslampp_native.so, the
+    AMD-wrapper analog of OrderingMagic.cpp) when available.
     """
     n = adj.shape[0]
+    from slampp_tpu.core import native_host
+
+    native = native_host.min_degree_order(adj.indptr, adj.indices, constrained_last)
+    if native is not None:
+        return native
     last = set(int(x) for x in (constrained_last or ()))
     # adjacency sets
     nbrs = [set(adj.indices[adj.indptr[i] : adj.indptr[i + 1]].tolist()) for i in range(n)]
