@@ -86,7 +86,27 @@ def main(argv=None):
     use_schur = args.use_schur or is_ba
 
     t0 = time.time()
-    if args.nonlinear_solve_period > 0 and not is_ba:
+    if is_ba and args.nonlinear_solve_period > 0:
+        # incremental BA: optimize at CONSISTENCY_MARKER records (the
+        # reference's CParseLoop_ConsistencyMarker path, Main.h:1066-1074;
+        # markers delimit states where no vertices are orphaned)
+        from slampp_tpu.graph.system import GraphSystem
+
+        system = GraphSystem()
+        n_markers = 0
+
+        def on_marker(s):
+            nonlocal n_markers
+            n_markers += 1
+            lm = LevenbergMarquardtSolver(s, use_schur=True, pad=True)
+            lm.optimize(args.max_nonlinear_solve_iters, args.nonlinear_solve_error_thresh)
+            if args.verbose:
+                print(f"marker #{n_markers}: chi2={lm.chi2():.2f}")
+
+        build_system(records, problem=problem, system=system, on_marker=on_marker)
+        solver = LevenbergMarquardtSolver(system, use_schur=True, verbose=args.verbose)
+        n_steps = n_markers
+    elif args.nonlinear_solve_period > 0 and not is_ba:
         from slampp_tpu.graph.system import GraphSystem
 
         system = GraphSystem()

@@ -76,12 +76,13 @@ def device_plan(plan) -> DevicePlan:
     )
 
 
-def factorize(dp: DevicePlan, vals: jnp.ndarray) -> jnp.ndarray:
+def factorize(dp: DevicePlan, vals: jnp.ndarray, clamp: float = 0.0) -> jnp.ndarray:
     """Numeric block Cholesky.
 
     ``vals``: (nnzb, bs, bs) — the lower-triangular blocks of A scattered
     into the L slot structure (fill slots zero).  Returns L values in the
     same layout (diagonal blocks lower-triangular Cholesky factors).
+    ``clamp`` > 0 floors pivots (static pivoting for low-precision factors).
     """
     bs = vals.shape[-1]
     eye = jnp.eye(bs, dtype=vals.dtype)
@@ -100,29 +101,18 @@ def factorize(dp: DevicePlan, vals: jnp.ndarray) -> jnp.ndarray:
         vals = vals.at[upd_dst].add(
             jnp.where(mask, -upd, 0.0), indices_are_sorted=True
         )
-        # (b) diagonal factorization — unrolled small-block kernel for tiny
-        # blocks (the FBS analog; XLA's generic batched cholesky is
-        # loop-bound on TPU), blocked LAPACK-style for panels
+        # (b) diagonal factorization — unrolled/blocked clamped kernels (the
+        # FBS analog; avoids XLA's loop-bound batched cholesky and stays
+        # NaN-free under static pivoting); reads only the lower triangle
         D = vals[lvl_diag]
         Dq = jnp.where((lvl_diag < dp.nnzb)[:, None, None], D, eye[None])
-        if bs <= 8:
-            Lj = small_blocks.cholesky_small(Dq)
-        else:
-            # only the lower triangle of a diagonal panel is assembled/updated
-            # meaningfully — do NOT symmetrize with the garbage upper part
-            Lj = lax.linalg.cholesky(Dq, symmetrize_input=False)
+        Lj = small_blocks.cholesky_blocked(Dq, clamp=clamp)
         vals = vals.at[lvl_diag].set(Lj)
         # (c) column solve: L[i,j] = W[i,j] @ Lj^-T
         W = vals[lvl_offd]
         Dj = vals[lvl_offd_diag]
         Djq = jnp.where((lvl_offd_diag < dp.nnzb)[:, None, None], Dj, eye[None])
-        if bs <= 8:
-            X = small_blocks.solve_triangular_right_transpose_small(W, Djq)
-        else:
-            Xt = lax.linalg.triangular_solve(
-                Djq, jnp.swapaxes(W, 1, 2), left_side=True, lower=True
-            )
-            X = jnp.swapaxes(Xt, 1, 2)
+        X = small_blocks.solve_triangular_right_transpose_blocked(W, Djq)
         vals = vals.at[lvl_offd].set(X)
         # keep the dummy slot = I
         vals = vals.at[dp.nnzb].set(eye)
@@ -161,12 +151,7 @@ def solve(dp: DevicePlan, Lvals: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # triangular solve on this level's columns
         cs = jnp.where(cols < dp.n, cols, dp.n)
         Dj = Lp[diag_for_col[cs]]
-        if bs <= 8:
-            yj = small_blocks.solve_lower_small(Dj, y[cs])
-        else:
-            yj = lax.linalg.triangular_solve(
-                Dj, y[cs][..., None], left_side=True, lower=True
-            )[..., 0]
+        yj = small_blocks.solve_lower_blocked(Dj, y[cs])
         y = y.at[cs].set(yj)
         return y, None
 
@@ -185,12 +170,7 @@ def solve(dp: DevicePlan, Lvals: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         x = x.at[dsts].add(-contrib)
         cs = jnp.where(cols < dp.n, cols, dp.n)
         Dj = Lp[diag_for_col[cs]]
-        if bs <= 8:
-            xj = small_blocks.solve_lower_transpose_small(Dj, x[cs])
-        else:
-            xj = lax.linalg.triangular_solve(
-                Dj, x[cs][..., None], left_side=True, lower=True, transpose_a=True
-            )[..., 0]
+        xj = small_blocks.solve_lower_transpose_blocked(Dj, x[cs])
         x = x.at[cs].set(xj)
         return x, None
 
@@ -256,7 +236,9 @@ def solve_refined(
     vals_s = vals64 * sr[:, :, None] * sc[:, None, :]
     # static relative damping on the (now unit) diagonal
     vals_s = vals_s.at[dp.diag_slot[:, None], d[None, :], d[None, :]].add(damping_rel)
-    L32 = factorize(dp, vals_s.astype(jnp.float32))
+    # clamped pivots: the f32 factor of an ill-conditioned system stays
+    # finite even when rounding makes a pivot non-positive
+    L32 = factorize(dp, vals_s.astype(jnp.float32), clamp=1e-8)
 
     def solve32(r64):
         y = solve(dp, L32, (s * r64).astype(jnp.float32))

@@ -225,6 +225,40 @@ def make_ba_scene(
     return text, (cams_w2c, pts)
 
 
+def make_ba_scene_incremental(n_cams: int = 10, n_points: int = 120, seed: int = 0, **kw):
+    """Incremental-BA ordering of :func:`make_ba_scene`: cameras appear one
+    at a time followed by the newly-visible points and observations, with
+    CONSISTENCY_MARKER records at each consistent state (the reference's
+    incremental BA format, data/Readme.txt and scripts/incremental_BA/)."""
+    text, gt = make_ba_scene(n_cams=n_cams, n_points=n_points, seed=seed, **kw)
+    cam_lines, pt_lines, obs_lines = [], [], []
+    for line in text.strip().splitlines():
+        if line.startswith("VERTEX_CAM"):
+            cam_lines.append(line)
+        elif line.startswith("VERTEX_XYZ"):
+            pt_lines.append(line)
+        else:
+            obs_lines.append(line)
+    # group observations by camera
+    by_cam = {}
+    for line in obs_lines:
+        cam = int(line.split()[2])
+        by_cam.setdefault(cam, []).append(line)
+    emitted_pts = set()
+    out = []
+    for c in range(n_cams):
+        out.append(cam_lines[c])
+        for line in by_cam.get(c, []):
+            pid = int(line.split()[1])
+            if pid not in emitted_pts:
+                emitted_pts.add(pid)
+                out.append(pt_lines[pid - n_cams])
+        out.extend(by_cam.get(c, []))
+        if c >= 1:  # first consistent state needs two cameras
+            out.append("CONSISTENCY_MARKER")
+    return "\n".join(out) + "\n", gt
+
+
 def _np_rot_to_quat_np(R):
     t = np.trace(R)
     qw = np.sqrt(max(0.0, 1.0 + t)) / 2.0
