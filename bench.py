@@ -26,6 +26,11 @@ import numpy as np  # noqa: E402
 import slampp_tpu  # noqa: E402  (x64 on)
 import jax  # noqa: E402
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 from slampp_tpu.io.datasets import make_manhattan  # noqa: E402
 from slampp_tpu.io.parser import parse_file, build_system  # noqa: E402
 from slampp_tpu.linear.native import NativeBlockSolver  # noqa: E402

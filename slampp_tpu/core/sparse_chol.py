@@ -94,7 +94,7 @@ def factorize(dp: DevicePlan, vals: jnp.ndarray, clamp: float = 0.0) -> jnp.ndar
         # (a) pending outer-product updates: dst -= A @ B^T, batched
         a = vals[upd_a]
         b = vals[upd_b]
-        upd = jnp.einsum("eij,ekj->eik", a, b)
+        upd = jnp.einsum("eij,ekj->eik", a, b, precision=lax.Precision.HIGHEST)
         mask = (upd_dst < dp.nnzb)[:, None, None]
         # triples are pre-sorted by destination (core/symbolic.py) — the
         # sorted hint lowers to a faster TPU scatter-add
@@ -145,7 +145,7 @@ def solve(dp: DevicePlan, Lvals: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # forward: y_j = Lj^-1 (b_j - sum L[j,k] y_k), by level
     def fwd_step(y, idx):
         slots, srcs, dsts, cols = idx
-        contrib = jnp.einsum("eij,ej->ei", Lp[slots], y[srcs])
+        contrib = jnp.einsum("eij,ej->ei", Lp[slots], y[srcs], precision=lax.Precision.HIGHEST)
         contrib = jnp.where((dsts < dp.n)[:, None], contrib, 0.0)
         y = y.at[dsts].add(-contrib)
         # triangular solve on this level's columns
@@ -165,7 +165,7 @@ def solve(dp: DevicePlan, Lvals: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # column's incoming contributions first, then solve that column.
     def bwd_step(x, idx):
         slots, srcs, dsts, cols = idx
-        contrib = jnp.einsum("eji,ej->ei", Lp[slots], x[srcs])
+        contrib = jnp.einsum("eji,ej->ei", Lp[slots], x[srcs], precision=lax.Precision.HIGHEST)
         contrib = jnp.where((dsts < dp.n)[:, None], contrib, 0.0)
         x = x.at[dsts].add(-contrib)
         cs = jnp.where(cols < dp.n, cols, dp.n)
@@ -197,12 +197,12 @@ def spmv_symmetric(dp: DevicePlan, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.nda
     D = vals[dp.diag_slot]
     Dlow = jnp.tril(D, -1)
     Dsym = Dlow + jnp.swapaxes(Dlow, 1, 2) + jnp.eye(bs, dtype=vals.dtype) * D
-    y = jnp.einsum("nij,nj->ni", Dsym, x)
+    y = jnp.einsum("nij,nj->ni", Dsym, x, precision=lax.Precision.HIGHEST)
     # off-diagonal blocks: y[r] += B x[c]; y[c] += B^T x[r]
     offd = dp.rows != dp.cols
     B = jnp.where(offd[:, None, None], vals, 0.0)
-    contrib_r = jnp.einsum("eij,ej->ei", B, x[dp.cols])
-    contrib_c = jnp.einsum("eji,ej->ei", B, x[dp.rows])
+    contrib_r = jnp.einsum("eij,ej->ei", B, x[dp.cols], precision=lax.Precision.HIGHEST)
+    contrib_c = jnp.einsum("eji,ej->ei", B, x[dp.rows], precision=lax.Precision.HIGHEST)
     y = y.at[dp.rows].add(contrib_r)
     y = y.at[dp.cols].add(contrib_c)
     return y

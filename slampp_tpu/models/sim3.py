@@ -11,10 +11,9 @@ local-other} grid (Sim3_Types.h:247-3598):
   * _LS: landmark stored in the OWNING camera's local frame, observed by it
     (a unary edge on the landmark; the camera is fixed by construction)
   * _LO: landmark local to an owner camera, observed by another
-Plus the Sim(3) relative pose edge (pose-graph in Sim(3)) and the
-SE(3)-pose <-> Sim(3)-camera edge (CEdgePoseCamSim3).
-
-InvDist (1-D inverse distance along a stored ray) is not yet implemented.
+Plus the Sim(3) relative pose edge (pose-graph in Sim(3)), the
+SE(3)-pose <-> Sim(3)-camera edge (CEdgePoseCamSim3), and the InvDist
+(1-DoF inverse distance along a stored ray) parameterization (LS/LO).
 """
 
 from __future__ import annotations
@@ -45,6 +44,26 @@ CAMSIM3 = register_vertex_type(
 INVDEPTH = register_vertex_type(
     VertexType(name="invdepth", dim=3, retract=sim3.invdepth_plus, is_landmark=True)
 )
+
+
+def _invdist_retract(state, delta):
+    """CVertexInvDist (Sim3_Types.h:102): 1-DoF inverse distance q along a
+    stored unit observation ray (state = (q, rx, ry, rz), only q optimized;
+    Operator_Plus adds the delta to q only, :161-171)."""
+    return state.at[0].add(delta[0])
+
+
+INVDIST = register_vertex_type(
+    VertexType(
+        name="invdist", dim=1, retract=_invdist_retract, is_landmark=True, _state_dim=4
+    )
+)
+
+
+def invdist_to_xyz(state):
+    """Position (in the owner frame) of an inverse-distance landmark:
+    ray / q (v_InvDist_to_XYZ analog)."""
+    return state[1:4] / state[0]
 
 
 def _p2c_xyz_g(xs, z):
@@ -84,6 +103,20 @@ def _p2c_xyz_lo(xs, z):
 def _p2c_invdepth_lo(xs, z):
     v, owner, obs = xs
     x_obs = sim3.local_to_other(sim3.invdepth_to_xyz(v), owner[0:7], obs[0:7])
+    return z - sim3.project_p2c_local_xyz(x_obs, obs[7:12])
+
+
+def _p2c_invdist_ls(xs, z):
+    """CEdgeP2C_InvDist_Sim3_LS: inverse-distance landmark in its owning
+    camera's frame (unary; measurement = (u, v, intrinsics...))."""
+    (v,) = xs
+    return z[0:2] - sim3.project_p2c_local_xyz(invdist_to_xyz(v), z[2:7])
+
+
+def _p2c_invdist_lo(xs, z):
+    """CEdgeP2C_InvDist_Sim3_LO: observed from another camera (ternary)."""
+    v, owner, obs = xs
+    x_obs = sim3.local_to_other(invdist_to_xyz(v), owner[0:7], obs[0:7])
     return z - sim3.project_p2c_local_xyz(x_obs, obs[7:12])
 
 
@@ -164,6 +197,26 @@ EDGE_P2C_INVDEPTH_SIM3_LO = register_edge_type(
         res_dim=2,
         meas_dim=2,
         error_fn=_p2c_invdepth_lo,
+    )
+)
+
+EDGE_P2C_INVDIST_SIM3_LS = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdist_sim3_ls",
+        vertex_types=("invdist",),
+        res_dim=2,
+        meas_dim=7,
+        error_fn=_p2c_invdist_ls,
+    )
+)
+
+EDGE_P2C_INVDIST_SIM3_LO = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdist_sim3_lo",
+        vertex_types=("invdist", "camsim3", "camsim3"),
+        res_dim=2,
+        meas_dim=2,
+        error_fn=_p2c_invdist_lo,
     )
 )
 

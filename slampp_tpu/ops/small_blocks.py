@@ -10,6 +10,7 @@ kernels, include/slam/BlockMatrixFBS.h).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def cholesky_small(A: jnp.ndarray, clamp: float = 0.0) -> jnp.ndarray:
@@ -59,14 +60,15 @@ def cholesky_blocked(A: jnp.ndarray, clamp: float = 0.0, blk: int = 8) -> jnp.nd
         # subtract prior panels
         if j > 0:
             Lleft = out[..., j0:j1, 0:j0]
-            Ajj = Ajj - jnp.einsum("...ik,...jk->...ij", Lleft, Lleft)
+            Ajj = Ajj - jnp.einsum("...ik,...jk->...ij", Lleft, Lleft, precision=lax.Precision.HIGHEST)
         Ljj = cholesky_small(Ajj, clamp)
         out = out.at[..., j0:j1, j0:j1].set(Ljj)
         if j1 < bs:
             W = A[..., j1:bs, j0:j1]
             if j > 0:
                 W = W - jnp.einsum(
-                    "...ik,...jk->...ij", out[..., j1:bs, 0:j0], out[..., j0:j1, 0:j0]
+                    "...ik,...jk->...ij", out[..., j1:bs, 0:j0], out[..., j0:j1, 0:j0],
+                    precision=lax.Precision.HIGHEST,
                 )
             X = solve_triangular_right_transpose_small(W, Ljj)
             out = out.at[..., j1:bs, j0:j1].set(X)
@@ -104,7 +106,8 @@ def solve_triangular_right_transpose_blocked(
         Wj = W[..., :, j0:j1]
         if j > 0:
             Wj = Wj - jnp.einsum(
-                "...mk,...jk->...mj", X[..., :, 0:j0], L[..., j0:j1, 0:j0]
+                "...mk,...jk->...mj", X[..., :, 0:j0], L[..., j0:j1, 0:j0],
+                precision=lax.Precision.HIGHEST,
             )
         Xj = solve_triangular_right_transpose_small(Wj, L[..., j0:j1, j0:j1])
         X = X.at[..., :, j0:j1].set(Xj)
@@ -122,7 +125,7 @@ def solve_lower_blocked(L: jnp.ndarray, b: jnp.ndarray, blk: int = 8) -> jnp.nda
         j0, j1 = j * blk, min((j + 1) * blk, bs)
         bj = b[..., j0:j1]
         if j > 0:
-            bj = bj - jnp.einsum("...ik,...k->...i", L[..., j0:j1, 0:j0], y[..., 0:j0])
+            bj = bj - jnp.einsum("...ik,...k->...i", L[..., j0:j1, 0:j0], y[..., 0:j0], precision=lax.Precision.HIGHEST)
         y = y.at[..., j0:j1].set(solve_lower_small(L[..., j0:j1, j0:j1], bj))
     return y
 
@@ -138,7 +141,7 @@ def solve_lower_transpose_blocked(L: jnp.ndarray, b: jnp.ndarray, blk: int = 8) 
         j0, j1 = j * blk, min((j + 1) * blk, bs)
         bj = b[..., j0:j1]
         if j1 < bs:
-            bj = bj - jnp.einsum("...ki,...k->...i", L[..., j1:bs, j0:j1], x[..., j1:bs])
+            bj = bj - jnp.einsum("...ki,...k->...i", L[..., j1:bs, j0:j1], x[..., j1:bs], precision=lax.Precision.HIGHEST)
         x = x.at[..., j0:j1].set(solve_lower_transpose_small(L[..., j0:j1, j0:j1], bj))
     return x
 

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from slampp_tpu.geometry import sim3 as g_sim3
+from slampp_tpu.geometry import sim3 as m_sim3_geo
+import jax.numpy as jnp
 from slampp_tpu.graph.system import GraphSystem
 from slampp_tpu.models import robust, sim3 as m_sim3
 from slampp_tpu.solvers import GaussNewtonSolver, LevenbergMarquardtSolver
@@ -158,3 +160,43 @@ def test_cli_end_to_end(tmp_path):
     assert rc == 0
     assert sol.exists() and len(sol.read_text().splitlines()) == 80
     assert plot.exists()
+
+
+def test_invdist_ls_edge_converges():
+    """1-DoF inverse-distance landmark (stored ray) optimizes its depth."""
+    from slampp_tpu.models.sim3 import invdist_to_xyz
+
+    intr = np.array([400.0, 400.0, 320.0, 240.0, 0.0])
+    X_true = np.array([0.4, -0.2, 5.0])  # in the owner camera frame
+    ray = X_true / np.linalg.norm(X_true)
+    q_true = 1.0 / np.linalg.norm(X_true)
+    uv = np.asarray(
+        m_sim3_geo.project_p2c_local_xyz(jnp.asarray(X_true), jnp.asarray(intr))
+    )
+    system = GraphSystem()
+    system.add_vertex("invdist", 0, np.array([q_true * 2.0, *ray]))  # bad depth
+    meas = np.concatenate([uv, intr])
+    system.add_edge("edge_p2c_invdist_sim3_ls", (0,), meas, np.eye(2))
+    # a second observation from a known other camera pins the depth
+    cam2_tRs = np.array([0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+    cam2_log = np.asarray(m_sim3_geo.sim3_log(jnp.asarray(cam2_tRs)))
+    system.add_vertex("camsim3", 1, np.concatenate([cam2_log, intr]), const=True)
+    owner_log = np.zeros(7)
+    system.add_vertex("camsim3", 2, np.concatenate([owner_log, intr]), const=True)
+    x_obs = np.asarray(
+        m_sim3_geo.local_to_other(
+            jnp.asarray(X_true), jnp.asarray(owner_log), jnp.asarray(cam2_log)
+        )
+    )
+    uv2 = np.asarray(
+        m_sim3_geo.project_p2c_local_xyz(jnp.asarray(x_obs), jnp.asarray(intr))
+    )
+    system.add_edge("edge_p2c_invdist_sim3_lo", (0, 2, 1), uv2, np.eye(2))
+
+    solver = GaussNewtonSolver(system, linear_solver="dense")
+    solver.optimize(15, 1e-12)
+    st = system.vertex_state(0)
+    assert abs(st[0] - q_true) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(invdist_to_xyz(jnp.asarray(st))), X_true, atol=1e-5
+    )
