@@ -63,14 +63,10 @@ def _pad2(rows: List[np.ndarray], fill: int) -> np.ndarray:
     return out
 
 
-def symbolic_cholesky(n: int, pairs: Sequence[Tuple[int, int]]) -> CholeskyPlan:
-    """Symbolic factorization of a block pattern given by off-diagonal block
-    pairs (i, j) (unordered) on n block columns.
-
-    Returns the full :class:`CholeskyPlan` with fill, elimination-tree level
-    schedule, and padded per-level index arrays.
-    """
-    # lower adjacency: for each column j, set of rows i > j with A[i,j] != 0
+def analyze(n: int, pairs: Sequence[Tuple[int, int]]):
+    """Core symbolic analysis shared by the plan builders: fill pattern,
+    elimination tree, and tree levels for a block pattern of off-diagonal
+    pairs on n columns.  Returns (pattern: List[set], parent, level)."""
     lower: List[set] = [set() for _ in range(n)]
     for i, j in pairs:
         if i == j:
@@ -91,6 +87,25 @@ def symbolic_cholesky(n: int, pairs: Sequence[Tuple[int, int]]) -> CholeskyPlan:
             p = min(pattern[j])
             parent[j] = p
             children[p].append(j)
+    level = np.zeros(n, np.int64)
+    for j in range(n):  # children have smaller indices than parents
+        for c in children[j]:
+            level[j] = max(level[j], level[c] + 1)
+    return pattern, parent, level
+
+
+def symbolic_cholesky(n: int, pairs: Sequence[Tuple[int, int]]) -> CholeskyPlan:
+    """Symbolic factorization of a block pattern given by off-diagonal block
+    pairs (i, j) (unordered) on n block columns.
+
+    Returns the full :class:`CholeskyPlan` with fill, elimination-tree level
+    schedule, and padded per-level index arrays.
+    """
+    pattern, parent, _level_arr = analyze(n, pairs)
+    children: List[List[int]] = [[] for _ in range(n)]
+    for j in range(n):
+        if parent[j] >= 0:
+            children[parent[j]].append(j)
 
     # slots: block-CSC with diagonal first in each column
     rows_list: List[int] = []

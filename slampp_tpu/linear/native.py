@@ -37,21 +37,26 @@ class NativeBlockSolver:
         panel: int = 1,
         mixed_precision: bool = False,
         refine_iters: int = 2,
+        engine: str = "v1",
     ):
         """``panel`` > 1 enables supernodal panel amalgamation: groups of
         ``panel`` consecutive ordered block-columns factor as dense P x P
         panels (P = panel*bs) on a much shallower elimination tree.
         ``mixed_precision`` factors in f32 with static damping + f64
         iterative refinement — the fast path on TPU, where f64 matmuls are
-        emulated (SURVEY.md §7 hard part 3)."""
+        emulated (SURVEY.md §7 hard part 3).  ``engine``: "v1" (packed
+        scatter-add levels) or "v2" (scatter-free level windows +
+        prefix-sum segment reduction, core/sparse_chol2.py)."""
         self.system = system
         self.ordering_kind = ordering
         self.panel = panel
         self.mixed_precision = mixed_precision
         self.refine_iters = refine_iters
+        self.engine = engine
         self._symbolic_key = None
         self.block_plan: Optional[block_assembly.BlockPlan] = None
         self.dplan: Optional[sparse_chol.DevicePlan] = None
+        self.plan2 = None
 
     def symbolic(self, constrained_last=None) -> None:
         """(Re)build ordering + symbolic factor + routing for the current
@@ -102,11 +107,35 @@ class NativeBlockSolver:
                 if int(inv[i]) // p != int(inv[j]) // p
             }
         )
-        plan = symbolic.symbolic_cholesky(n_panels, ppairs)
-        self.dplan = sparse_chol.device_plan(plan)
-        self.block_plan = block_assembly.build_block_plan(
-            system, plan.slot_of, plan.diag_slot, plan.nnzb, inv, block_of_vid, panel=p
-        )
+        if self.engine == "v2":
+            from slampp_tpu.core import sparse_chol2
+
+            plan2 = sparse_chol2.plan_v2(n_panels, ppairs)
+            # compose the level-contiguous panel renumbering into the fine
+            # block permutation: panel q (AMD space) sits at new position
+            new_of = np.empty(n_panels, np.int64)
+            new_of[plan2.col_order] = np.arange(n_panels)
+            inv2 = np.empty_like(inv)
+            for fb in range(n):
+                pp = int(inv[fb])
+                inv2[fb] = new_of[pp // p] * p + (pp % p)
+            self.plan2 = plan2
+            self.block_plan = block_assembly.build_block_plan(
+                system,
+                plan2.slot_of,
+                plan2.diag_slot,
+                plan2.n + plan2.n_off,
+                inv2,
+                block_of_vid,
+                panel=p,
+            )
+            self.dplan = None
+        else:
+            plan = symbolic.symbolic_cholesky(n_panels, ppairs)
+            self.dplan = sparse_chol.device_plan(plan)
+            self.block_plan = block_assembly.build_block_plan(
+                system, plan.slot_of, plan.diag_slot, plan.nnzb, inv, block_of_vid, panel=p
+            )
         self._symbolic_key = (system.n_vertices, system.n_edges)
 
     def ensure_symbolic(self):
@@ -118,6 +147,10 @@ class NativeBlockSolver:
         """One jitted GN iteration through the sparse path:
         (new_states, dx_norm, chi2_at_entry)."""
         self.ensure_symbolic()
+        if self.engine == "v2":
+            return _native_gn_step_v2(
+                graph, self.block_plan, self.plan2, self.mixed_precision, self.refine_iters
+            )
         return _native_gn_step(
             graph, self.block_plan, self.dplan, self.mixed_precision, self.refine_iters
         )
@@ -134,6 +167,34 @@ def _native_gn_step_impl(graph: GraphArrays, bp, dp, mixed: bool, refine: int):
     dx_norm = jnp.linalg.norm(dx)
     new_states = apply_update(graph, dx)
     return new_states, dx_norm, chi2
+
+
+def _native_gn_step_v2_impl(graph: GraphArrays, bp, plan2, mixed: bool, refine: int):
+    from slampp_tpu.core import sparse_chol2
+
+    vals, rhs, chi2 = block_assembly.assemble_blocks(graph, bp)
+    n, n_off = plan2.n, plan2.n_off
+    Dvals = vals[:n]
+    OffVals = vals[n : n + n_off]
+    b = -rhs[:-1]
+    if mixed:
+        x = sparse_chol2.solve_refined2(plan2, Dvals, OffVals, b, refine_iters=refine)
+    else:
+        Ld, Lo = sparse_chol2.factorize2(plan2, Dvals, OffVals)
+        x = sparse_chol2.solve2(plan2, Ld, Lo, b)
+    dx = block_assembly.scatter_dx(bp, x, bp.bs)
+    dx_norm = jnp.linalg.norm(dx)
+    new_states = apply_update(graph, dx)
+    return new_states, dx_norm, chi2
+
+
+def _native_gn_step_v2(graph: GraphArrays, bp, plan2, mixed: bool = False, refine: int = 1):
+    key = ("v2", id(bp), mixed, refine)
+    fn = _step_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda g: _native_gn_step_v2_impl(g, bp, plan2, mixed, refine))
+        _step_cache[key] = fn
+    return fn(graph)
 
 
 # bp (BlockPlan) holds jnp arrays + python ints; treat it as static-by-identity
