@@ -51,10 +51,11 @@ def main():
     finally:
         os.unlink(path)
 
-    # native block-sparse Cholesky path: supernodal panels + f32 factor with
-    # f64 iterative refinement (converges to identical chi2, see tests)
+    # native block-sparse Cholesky, v2 scatter-free engine: supernodal panels
+    # + f32 factor with f64 iterative refinement (converges to the identical
+    # chi2 as f64, see tests/test_aux.py and tests/test_sparse_chol2.py)
     ns = NativeBlockSolver(
-        system, panel=panel, mixed_precision=mixed, refine_iters=1
+        system, panel=panel, mixed_precision=mixed, refine_iters=1, engine="v2"
     )
     t0 = time.perf_counter()
     ns.symbolic()
@@ -62,7 +63,9 @@ def main():
 
     graph = system.snapshot()
 
-    # full 5-iteration batch solve (reference semantics), timing compilation
+    # full 5-iteration batch solve (reference semantics), timing compilation.
+    # NOTE: host syncs force real completion (the experimental axon backend's
+    # block_until_ready is advisory), so every timing below round-trips data.
     t0 = time.perf_counter()
     g = graph
     chi2 = None
@@ -76,12 +79,15 @@ def main():
     chi2_final = float(jax.jit(graph_chi2)(g))
     t_first = time.perf_counter() - t0
 
-    # steady-state iterations/sec: jitted GN steps back-to-back
-    n_timed = 10
+    # steady-state iterations/sec: a CHAINED run of jitted GN steps (true
+    # data dependency step-to-step) with one final host fetch
+    n_timed = 20
     t0 = time.perf_counter()
+    g = graph
     for _ in range(n_timed):
-        states, dx_norm, chi2 = ns.gn_step(graph)
-    jax.block_until_ready(dx_norm)
+        states, dx_norm, chi2 = ns.gn_step(g)
+        g = g.replace_states(states)
+    np.asarray(states[next(iter(states))])  # host sync
     dt = time.perf_counter() - t0
     iters_per_sec = n_timed / dt
 

@@ -49,7 +49,7 @@ def ate_rmse(est_xy: np.ndarray, gt_xy: np.ndarray, align: bool = True, with_sca
 
 def rpe_rmse(est_xy: np.ndarray, gt_xy: np.ndarray, delta: int = 1) -> float:
     """Relative pose error RMSE over position increments
-    (reference ErrorEval.h:208-231, the RPE/RPE-AA family)."""
+    (reference ErrorEval.h:208-231, the RPE family)."""
     est_xy = np.asarray(est_xy, float)
     gt_xy = np.asarray(gt_xy, float)
     de = est_xy[delta:] - est_xy[:-delta]
@@ -57,3 +57,21 @@ def rpe_rmse(est_xy: np.ndarray, gt_xy: np.ndarray, delta: int = 1) -> float:
     # compare increment magnitudes (rotation-invariant position RPE)
     d2 = (np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)) ** 2
     return float(np.sqrt(np.mean(d2)))
+
+
+def rpe_aa_rmse(est_aa: np.ndarray, gt_aa: np.ndarray, delta: int = 1) -> float:
+    """RPE over ROTATIONS (the reference's RPE-AA mode, ErrorEval.h:231):
+    RMSE of the relative-rotation error angle between consecutive poses,
+    with axis-angle inputs (n, 3)."""
+    from scipy.spatial.transform import Rotation
+
+    Re = Rotation.from_rotvec(np.asarray(est_aa, float))
+    Rg = Rotation.from_rotvec(np.asarray(gt_aa, float))
+    n = len(est_aa)
+    errs = []
+    for i in range(n - delta):
+        de = Re[i].inv() * Re[i + delta]
+        dg = Rg[i].inv() * Rg[i + delta]
+        err = (dg.inv() * de).magnitude()
+        errs.append(err)
+    return float(np.sqrt(np.mean(np.square(errs))))

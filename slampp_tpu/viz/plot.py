@@ -41,6 +41,33 @@ def plot_system(system, path: str, edge_types=None) -> None:
     plt.close(fig)
 
 
+def plot_system_3d(system, path: str) -> None:
+    """3D trajectory/graph plot (Plot3D analog, FlatSystem.h:2742)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    pts = {}
+    for vid in system.vertex_index:
+        st = system.vertex_state(vid)
+        if len(st) >= 3:
+            pts[vid] = st[:3]
+    for tname in system.edge_type_names:
+        for vids in system._edges[tname]["vids"]:
+            if len(vids) >= 2 and vids[0] in pts and vids[1] in pts:
+                a, b = pts[vids[0]], pts[vids[1]]
+                ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], "-", color="0.7", lw=0.3)
+    if pts:
+        xyz = np.stack(list(pts.values()))
+        ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2], s=1.0, c="tab:blue")
+    ax.set_title(f"{system.n_vertices} vertices / {system.n_edges} edges")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def rasterize_block_matrix(H: np.ndarray, path: str, threshold: float = 0.0) -> None:
     """Sparsity plot of a (dense-assembled) system matrix
     (CUberBlockMatrix::Rasterize analog)."""
