@@ -155,6 +155,16 @@ class NativeBlockSolver:
             graph, self.block_plan, self.dplan, self.mixed_precision, self.refine_iters
         )
 
+    def optimize_fused(self, graph: GraphArrays, n_iters: int = 5):
+        """K chained GN iterations fused into one program (v2 engine):
+        returns (final_states, last_dx_norm, chi2_initial, chi2_final)."""
+        self.ensure_symbolic()
+        if self.engine != "v2":
+            raise ValueError("optimize_fused requires engine='v2'")
+        return _native_optimize_fused(
+            graph, self.block_plan, self.plan2, n_iters, self.mixed_precision, self.refine_iters
+        )
+
 
 def _native_gn_step_impl(graph: GraphArrays, bp, dp, mixed: bool, refine: int):
     vals, rhs, chi2 = block_assembly.assemble_blocks(graph, bp)
@@ -193,6 +203,33 @@ def _native_gn_step_v2(graph: GraphArrays, bp, plan2, mixed: bool = False, refin
     fn = _step_cache.get(key)
     if fn is None:
         fn = jax.jit(lambda g: _native_gn_step_v2_impl(g, bp, plan2, mixed, refine))
+        _step_cache[key] = fn
+    return fn(graph)
+
+
+def _native_optimize_fused(
+    graph: GraphArrays, bp, plan2, n_iters: int, mixed: bool, refine: int
+):
+    """K chained GN iterations in ONE jitted program (one dispatch + one
+    fetch for a whole batch solve — reference `Optimize(5, ...)` semantics
+    minus the early-exit, which Manhattan-class problems never trigger)."""
+    key = ("v2fused", id(bp), n_iters, mixed, refine)
+    fn = _step_cache.get(key)
+    if fn is None:
+
+        def run(g):
+            chi0 = None
+            dxn = None
+            for _ in range(n_iters):
+                states, dxn, chi2 = _native_gn_step_v2_impl(g, bp, plan2, mixed, refine)
+                if chi0 is None:
+                    chi0 = chi2
+                g = g.replace_states(states)
+            from slampp_tpu.core.assembly import graph_chi2
+
+            return g.states, dxn, chi0, graph_chi2(g)
+
+        fn = jax.jit(run)
         _step_cache[key] = fn
     return fn(graph)
 
