@@ -95,6 +95,48 @@ class MarginalCovariance:
         self.edge_watermark = self.system.n_edges
         self.can_update = True
 
+    def update_batch_sparse(self, panel: int = 1) -> None:
+        """Recompute block-diagonal marginals by the RECURSIVE sparse
+        algorithm on the factor (the ICRA'15 path,
+        Calculate_DenseMarginals_Recurrent_FBS) — O(pattern) instead of
+        O(N^2); requires a uniform-block graph.  Does not populate the dense
+        cache needed by update_incremental."""
+        from slampp_tpu.core import block_assembly, sparse_chol2
+        from slampp_tpu.linear.native import NativeBlockSolver
+        from slampp_tpu.marginals.sparse_marginals import (
+            sparse_marginals,
+            takahashi_plan,
+        )
+
+        graph = self.system.snapshot()
+        ns = NativeBlockSolver(self.system, panel=panel, engine="v2")
+        ns.symbolic()
+        vals, rhs, _ = jax.jit(
+            lambda g: block_assembly.assemble_blocks(g, ns.block_plan)
+        )(graph)
+        p2 = ns.plan2
+        Ld, Lo = sparse_chol2.factorize2(p2, vals[: p2.n], vals[p2.n : p2.n + p2.n_off])
+        tk = takahashi_plan(p2)
+        Sd, _ = sparse_marginals(p2, tk, Ld, Lo)
+        Sd = np.asarray(Sd)
+        offs = np.asarray(ns.block_plan.dx_offsets)
+        state_dim = ns.block_plan.state_dim
+        offsets, _ = self.system._layout()
+        by_offset = {off: vid for vid, off in offsets.items()}
+        self.block_diag = {}
+        for j in range(p2.n):
+            o = offs[j]
+            for w in range(0, ns.block_plan.P, ns.block_plan.bs):
+                if o[w] >= state_dim:
+                    continue
+                vid = by_offset.get(int(o[w]))
+                if vid is None:
+                    continue
+                d = get_vertex_type(self.system.vertex_index[vid][0]).dim
+                self.block_diag[vid] = Sd[j][w : w + d, w : w + d]
+        self.edge_watermark = self.system.n_edges
+        self.can_update = False  # no dense cache for Woodbury updates
+
     def prefer_incremental(self, n_new_edge_rows: int) -> bool:
         """Cost model (reference b_PreferIncremental, Marginals.h:5073):
         the Woodbury update costs O(N^2 m + m^3), batch costs O(N^3)."""
