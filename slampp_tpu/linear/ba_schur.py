@@ -1,0 +1,320 @@
+"""Large-scale bundle-adjustment Schur solver (observation-driven).
+
+The dense-H Schur path (linear/schur.py) materializes the full Hessian —
+fine for small scenes, impossible for Venice-class BA (871 cameras, 10^5-10^6
+landmarks).  This module builds the reduced camera system DIRECTLY from
+observations, the way the reference's BA pipeline uses its block-sparse
+lambda (SURVEY.md §3.3), but organized for TPU:
+
+  * observations sorted by landmark: landmark blocks D_l, g_l and the
+    back-substitution are sorted-segment reductions (prefix-sum trick);
+  * a camera-sorted permutation gives the block-diagonal part of H_cc and
+    the camera RHS the same way (pure BA has no cam-cam edges, so H_cc is
+    block-diagonal before the Schur subtraction);
+  * the SC off-diagonal mass, SC -= sum_l U_l D_l^-1 U_l^T, expands into
+    per-observation-PAIR 6x6 GEMMs (pairs of observations sharing a
+    landmark), host-sorted by (cam_i, cam_j) so the reduction is again a
+    prefix-sum + ONE sorted-unique scatter into the dense SC;
+  * the dense SC (6 n_c)^2 factors with the MXU (mixed precision optional).
+
+This is the role the reference's GPU Schur backend plays
+(LinearSolver_Schur_GPU.cpp) — as the default, at Venice scale, on one chip.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from slampp_tpu.geometry import camera as cam_geo
+from slampp_tpu.geometry import se3
+
+HI = lax.Precision.HIGHEST
+
+
+class BASchurPlan(NamedTuple):
+    n_c: int
+    n_l: int
+    n_obs: int
+    # observation arrays SORTED BY LANDMARK
+    obs_cam: jnp.ndarray  # (m,) int32
+    obs_lm: jnp.ndarray  # (m,) int32 (sorted ascending)
+    obs_uv: jnp.ndarray  # (m, 2)
+    obs_info: jnp.ndarray  # (m, 2, 2)
+    lm_starts: jnp.ndarray  # (n_l,) segment starts into obs
+    lm_ends: jnp.ndarray  # (n_l,)
+    # camera-sorted permutation of observations + segments per camera
+    cam_perm: jnp.ndarray  # (m,) int32: obs indices sorted by camera
+    cam_starts: jnp.ndarray  # (n_c,)
+    cam_ends: jnp.ndarray  # (n_c,)
+    # observation pairs sharing a landmark, sorted by (cam_i * n_c + cam_j)
+    pair_e: jnp.ndarray  # (M2,) int32 obs index (row side)
+    pair_f: jnp.ndarray  # (M2,) int32 obs index (col side)
+    pair_distinct_flat: jnp.ndarray  # (n_distinct,) flat (cam_i, cam_j) ids
+    pair_starts: jnp.ndarray  # (n_distinct,)
+    pair_ends: jnp.ndarray  # (n_distinct,)
+    anchor_cam: int  # -1 when the gauge anchor is a landmark
+    anchor_lm: int  # -1 when the gauge anchor is a camera
+
+
+def build_ba_schur_plan(system) -> BASchurPlan:
+    """Host symbolic phase from a BA GraphSystem (cam/xyz + edge_p2c)."""
+    cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
+    lm_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "xyz")
+    cam_pos = {v: i for i, v in enumerate(cam_ids)}
+    lm_pos = {v: i for i, v in enumerate(lm_ids)}
+    n_c, n_l = len(cam_ids), len(lm_ids)
+
+    rec = system._edges["edge_p2c"]
+    m = len(rec["vids"])
+    oc = np.empty(m, np.int64)
+    ol = np.empty(m, np.int64)
+    uv = np.empty((m, 2))
+    info = np.empty((m, 2, 2))
+    for e, vids in enumerate(rec["vids"]):
+        p, c = vids
+        oc[e] = cam_pos[c]
+        ol[e] = lm_pos[p]
+        uv[e] = rec["meas"][e]
+        info[e] = rec["sigma_inv"][e]
+    order = np.argsort(ol, kind="stable")
+    oc, ol, uv, info = oc[order], ol[order], uv[order], info[order]
+
+    lm_starts = np.searchsorted(ol, np.arange(n_l))
+    lm_ends = np.searchsorted(ol, np.arange(n_l) + 1)
+
+    cam_perm = np.argsort(oc, kind="stable")
+    oc_sorted = oc[cam_perm]
+    cam_starts = np.searchsorted(oc_sorted, np.arange(n_c))
+    cam_ends = np.searchsorted(oc_sorted, np.arange(n_c) + 1)
+
+    # observation pairs per landmark (all ordered pairs)
+    pe, pf = [], []
+    for l in range(n_l):
+        s, t = int(lm_starts[l]), int(lm_ends[l])
+        idx = np.arange(s, t)
+        if len(idx) == 0:
+            continue
+        E, F = np.meshgrid(idx, idx, indexing="ij")
+        pe.append(E.ravel())
+        pf.append(F.ravel())
+    pair_e = np.concatenate(pe) if pe else np.zeros(0, np.int64)
+    pair_f = np.concatenate(pf) if pf else np.zeros(0, np.int64)
+    flat = oc[pair_e] * n_c + oc[pair_f]
+    po = np.argsort(flat, kind="stable")
+    pair_e, pair_f, flat = pair_e[po], pair_f[po], flat[po]
+    distinct, starts = np.unique(flat, return_index=True)
+    ends = np.concatenate([starts[1:], [len(flat)]])
+
+    av = system._unary_anchor
+    if av in cam_pos:
+        anchor_cam, anchor_lm = cam_pos[av], -1
+    elif av in lm_pos:
+        anchor_cam, anchor_lm = -1, lm_pos[av]
+    else:
+        anchor_cam, anchor_lm = 0, -1
+
+    return BASchurPlan(
+        n_c=n_c,
+        n_l=n_l,
+        n_obs=m,
+        obs_cam=jnp.asarray(oc, jnp.int32),
+        obs_lm=jnp.asarray(ol, jnp.int32),
+        obs_uv=jnp.asarray(uv),
+        obs_info=jnp.asarray(info),
+        lm_starts=jnp.asarray(lm_starts, jnp.int32),
+        lm_ends=jnp.asarray(lm_ends, jnp.int32),
+        cam_perm=jnp.asarray(cam_perm, jnp.int32),
+        cam_starts=jnp.asarray(cam_starts, jnp.int32),
+        cam_ends=jnp.asarray(cam_ends, jnp.int32),
+        pair_e=jnp.asarray(pair_e, jnp.int32),
+        pair_f=jnp.asarray(pair_f, jnp.int32),
+        pair_distinct_flat=jnp.asarray(distinct, jnp.int32),
+        pair_starts=jnp.asarray(starts, jnp.int32),
+        pair_ends=jnp.asarray(ends, jnp.int32),
+        anchor_cam=int(anchor_cam),
+        anchor_lm=int(anchor_lm),
+    )
+
+
+def _p2c_residual_jacs(point, cam_state, uv):
+    def err(dp, dc):
+        cam = jnp.concatenate([se3.plus(cam_state[0:6], dc), cam_state[6:11]])
+        return cam_geo.p2c_error(point + dp, cam, uv)
+
+    r = cam_geo.p2c_error(point, cam_state, uv)
+    Jp, Jc = jax.jacfwd(err, argnums=(0, 1))(jnp.zeros(3), jnp.zeros(6))
+    return r, Jp, Jc
+
+
+def _segsum(data, starts, ends):
+    """Sorted segment sums via exclusive prefix sums."""
+    cum0 = jnp.concatenate([jnp.zeros((1,) + data.shape[1:], data.dtype), jnp.cumsum(data, 0)], 0)
+    return cum0[ends] - cum0[starts]
+
+
+def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bool = True):
+    """One damped (LM) BA iteration without any dense Hessian.
+
+    cam_states: (n_c, 11); lm_states: (n_l, 3).  Returns
+    (new_cams, new_lms, dx_norm, chi2, denom).  ``sc_f64`` selects an exact
+    f64 SC factorization (the SC is only (6 n_c)^2 — cheap even emulated);
+    False uses the equilibrated f32 + refinement path.
+    """
+    n_c = plan.n_c
+    r, Jp, Jc = jax.vmap(_p2c_residual_jacs)(
+        lm_states[plan.obs_lm], cam_states[plan.obs_cam], plan.obs_uv
+    )
+    W = plan.obs_info
+    chi2 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, W, r))
+    WJc = jnp.einsum("eij,ejk->eik", W, Jc, precision=HI)
+    WJp = jnp.einsum("eij,ejk->eik", W, Jp, precision=HI)
+
+    # landmark blocks + rhs (obs sorted by lm)
+    D = _segsum(jnp.einsum("eij,eik->ejk", Jp, WJp, precision=HI), plan.lm_starts, plan.lm_ends)
+    g_l = _segsum(jnp.einsum("eij,ei->ej", WJp, r, precision=HI), plan.lm_starts, plan.lm_ends)
+    D = D + alpha * jnp.eye(3, dtype=D.dtype)
+    if plan.anchor_lm >= 0:
+        D = D.at[plan.anchor_lm].add(jnp.eye(3, dtype=D.dtype))
+    Dinv = jnp.linalg.inv(D)
+
+    # camera block-diagonal + rhs (via the camera-sorted permutation)
+    Hcc_e = jnp.einsum("eij,eik->ejk", Jc, WJc, precision=HI)
+    gc_e = jnp.einsum("eij,ei->ej", WJc, r, precision=HI)
+    Hcc_diag = _segsum(Hcc_e[plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (n_c,6,6)
+    g_c = _segsum(gc_e[plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (n_c,6)
+
+    # couplings per observation
+    B = jnp.einsum("eij,eik->ejk", Jc, WJp, precision=HI)  # (m, 6, 3)
+    BD = jnp.einsum("eij,ejk->eik", B, Dinv[plan.obs_lm], precision=HI)
+
+    # SC pair mass: P_ef = BD_e @ B_f^T, reduced per distinct (cam_i, cam_j)
+    prod = jnp.einsum("eij,ekj->eik", BD[plan.pair_e], B[plan.pair_f], precision=HI)
+    pair_sums = _segsum(prod, plan.pair_starts, plan.pair_ends)  # (n_distinct,6,6)
+
+    SC = jnp.zeros((n_c * n_c, 6, 6), pair_sums.dtype)
+    SC = SC.at[plan.pair_distinct_flat].set(
+        -pair_sums, indices_are_sorted=True, unique_indices=True
+    )
+    SC = SC.reshape(n_c, n_c, 6, 6)
+    diag_idx = jnp.arange(n_c)
+    SC = SC.at[diag_idx, diag_idx].add(Hcc_diag + alpha * jnp.eye(6, dtype=SC.dtype))
+    if plan.anchor_cam >= 0:
+        SC = SC.at[plan.anchor_cam, plan.anchor_cam].add(jnp.eye(6, dtype=SC.dtype))
+    SC = jnp.transpose(SC, (0, 2, 1, 3)).reshape(n_c * 6, n_c * 6)
+
+    # reduced rhs: g_c - sum_l U_l Dinv_l g_l  (per-obs contribution BD_e g_l)
+    r2_e = jnp.einsum("eij,ej->ei", BD, g_l[plan.obs_lm], precision=HI)  # (m, 6)
+    r2 = _segsum(r2_e[plan.cam_perm], plan.cam_starts, plan.cam_ends)
+    rhs = -(g_c - r2).reshape(-1)
+
+    if sc_f64:
+        L = lax.linalg.cholesky(SC, symmetrize_input=True)
+        y = lax.linalg.triangular_solve(L, rhs[:, None], left_side=True, lower=True)
+        dx_c = lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+    else:
+        # equilibrated f32 factorization + one f64 refinement
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(SC), 1e-30))
+        SCs = (SC * s[:, None] * s[None, :]).astype(jnp.float32)
+        SCs = SCs + 1e-6 * jnp.eye(SC.shape[0], dtype=jnp.float32)
+        L = lax.linalg.cholesky(SCs)
+
+        def solve32(rr):
+            y = lax.linalg.triangular_solve(
+                L, (s * rr).astype(jnp.float32)[:, None], left_side=True, lower=True
+            )
+            z = lax.linalg.triangular_solve(
+                L, y, left_side=True, lower=True, transpose_a=True
+            )[:, 0]
+            return s * z.astype(SC.dtype)
+
+        dx_c = solve32(rhs)
+        dx_c = dx_c + solve32(rhs - SC @ dx_c)
+
+    # landmark back-substitution: dx_l = Dinv (-g_l - sum_e B_e^T dx_c[cam_e])
+    dxc_blocks = dx_c.reshape(n_c, 6)
+    bt_e = jnp.einsum("eij,ei->ej", B, dxc_blocks[plan.obs_cam], precision=HI)  # (m,3)
+    BT = _segsum(bt_e, plan.lm_starts, plan.lm_ends)
+    dx_l = jnp.einsum("lij,lj->li", Dinv, -g_l - BT, precision=HI)
+
+    new_cams = jax.vmap(
+        lambda st, d: jnp.concatenate([se3.plus(st[0:6], d), st[6:11]])
+    )(cam_states, dxc_blocks)
+    new_lms = lm_states + dx_l
+
+    sq = jnp.dot(dx_c, dx_c) + jnp.sum(dx_l * dx_l)
+    # LM gain denominator dx.(alpha dx - g) with the FULL gradient (g_c, g_l)
+    g_dot = jnp.sum(dxc_blocks * g_c) + jnp.sum(dx_l * g_l)
+    denom = alpha * sq - g_dot
+    return new_cams, new_lms, jnp.sqrt(sq), chi2, denom
+
+
+class BigBASolver:
+    """LM over the observation-driven Schur step (the Venice-class solver)."""
+
+    def __init__(self, system, verbose: bool = False, tau: float = 1e-3):
+        self.system = system
+        self.verbose = verbose
+        self.tau = tau
+        self.plan = None
+        self._step = None
+
+    def _prepare(self):
+        if self.plan is None:
+            self.plan = build_ba_schur_plan(self.system)
+            self._step = jax.jit(
+                lambda c, l, a: ba_schur_lm_step(self.plan, c, l, a)
+            )
+        cam_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "cam")
+        lm_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "xyz")
+        cams = jnp.asarray(np.stack([self.system.vertex_state(v) for v in cam_ids]))
+        lms = jnp.asarray(np.stack([self.system.vertex_state(v) for v in lm_ids]))
+        return cam_ids, lm_ids, cams, lms
+
+    def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
+        cam_ids, lm_ids, cams, lms = self._prepare()
+        # initial damping from the max Hessian diagonal (LM heuristic)
+        alpha = self.tau * 1e3  # scale-free start; adapted by the gain ratio
+        nu = 2.0
+        _, _, _, chi2, _ = self._step(cams, lms, alpha)
+        last_error = float(chi2)
+        applied = 0
+        for it in range(max_iterations):
+            nc, nl, dxn, chi2, denom = self._step(cams, lms, alpha)
+            if not np.isfinite(float(dxn)) or float(dxn) <= min_dx_norm:
+                break
+            _, _, _, chi2_new, _ = self._step(nc, nl, alpha)
+            f_error = float(chi2_new)
+            rho = (last_error - f_error) / max(float(denom), 1e-300)
+            if rho > 0:
+                alpha *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                nu = 2.0
+                cams, lms = nc, nl
+                last_error = f_error
+                applied += 1
+                if self.verbose:
+                    print(f"BigBA iter {it}: accepted chi2={f_error:.2f} alpha={alpha:.2e}")
+            else:
+                alpha *= nu
+                nu *= 2.0
+                if self.verbose:
+                    print(f"BigBA iter {it}: rejected chi2={f_error:.2f} alpha={alpha:.2e}")
+        # write back
+        cams_np, lms_np = np.asarray(cams), np.asarray(lms)
+        for i, v in enumerate(cam_ids):
+            self.system.set_vertex_state(v, cams_np[i])
+        for i, v in enumerate(lm_ids):
+            self.system.set_vertex_state(v, lms_np[i])
+        return applied
+
+    def chi2(self) -> float:
+        cam_ids, lm_ids, cams, lms = self._prepare()
+        _, _, _, chi2, _ = self._step(cams, lms, 0.0)
+        return float(chi2)

@@ -1,0 +1,80 @@
+"""Observation-driven (Venice-class) BA Schur solver tests."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import assembly
+from slampp_tpu.io.datasets import make_ba_scene
+from slampp_tpu.io.parser import build_system, parse_file
+from slampp_tpu.linear.ba_schur import BigBASolver, ba_schur_lm_step, build_ba_schur_plan
+from slampp_tpu.linear.schur import build_schur_plan, schur_solve
+from slampp_tpu.solvers import LevenbergMarquardtSolver
+
+
+def _system(n_cams=6, n_points=64, seed=2):
+    text, _ = make_ba_scene(n_cams=n_cams, n_points=n_points, obs_per_point=4, seed=seed)
+    with tempfile.NamedTemporaryFile("w", suffix=".g2o", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        return build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+
+def test_ba_schur_step_matches_dense_path():
+    system = _system()
+    plan = build_ba_schur_plan(system)
+    cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
+    lm_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "xyz")
+    cams = jnp.asarray(np.stack([system.vertex_state(v) for v in cam_ids]))
+    lms = jnp.asarray(np.stack([system.vertex_state(v) for v in lm_ids]))
+    alpha = 1e-2
+
+    nc, nl, dxn, chi2, denom = jax.jit(
+        lambda c, l: ba_schur_lm_step(plan, c, l, alpha)
+    )(cams, lms)
+
+    # dense-H reference with the same damping/anchor
+    graph = system.snapshot()
+    H, g, chi2_ref = jax.jit(assembly.assemble_dense)(graph)
+    dplan = build_schur_plan(system)
+    dx_ref = schur_solve(H, g, dplan, alpha=alpha)
+    ref_states = assembly.apply_update(graph, dx_ref)
+
+    assert abs(float(chi2) - float(chi2_ref)) < 1e-6 * float(chi2_ref)
+    # mixed-precision SC solve: compare states to modest tolerance
+    for i, v in enumerate(cam_ids):
+        _, li = system.vertex_index[v]
+        np.testing.assert_allclose(
+            np.asarray(nc)[i], np.asarray(ref_states["cam"][li]), atol=5e-6
+        )
+    for i, v in enumerate(lm_ids):
+        _, li = system.vertex_index[v]
+        np.testing.assert_allclose(
+            np.asarray(nl)[i], np.asarray(ref_states["xyz"][li]), atol=5e-6
+        )
+
+
+def test_big_ba_solver_converges_like_lm():
+    system1 = _system(seed=5)
+    system2 = _system(seed=5)
+    big = BigBASolver(system1)
+    chi0 = big.chi2()
+    big.optimize(10, 1e-6)
+    chi_big = big.chi2()
+
+    lm = LevenbergMarquardtSolver(system2, use_schur=True)
+    lm.optimize(10, 1e-6)
+    chi_lm = lm.chi2()
+    assert chi_big < 0.05 * chi0
+    dof = system1.chi2_dof()
+    assert chi_big < 3.0 * dof
+    # same optimum within a loose band (different damping trajectories)
+    assert abs(chi_big - chi_lm) < 0.05 * max(chi_lm, 1.0)
