@@ -36,6 +36,7 @@ from slampp_tpu.graph.system import GraphArrays, GraphSystem
 from slampp_tpu.graph.types import get_edge_type, get_vertex_type
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EdgeRouting:
     """Per-edge-type device index arrays (host-built)."""
@@ -53,7 +54,18 @@ class EdgeRouting:
     pair_transpose: jnp.ndarray  # (E, n_pairs) bool
     pairs: Tuple  # ((a, b), ...) slot-index pairs, a < b
 
+    def tree_flatten(self):
+        return (
+            self.diag_slots, self.diag_offs, self.rhs_rows, self.rhs_offs,
+            self.pair_slots, self.pair_roffs, self.pair_coffs, self.pair_transpose,
+        ), (self.pairs,)
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BlockPlan:
     """Routing for one (graph structure, ordering, panel size)."""
@@ -73,6 +85,33 @@ class BlockPlan:
     # (n,) diag slot per panel + (n, P) 1.0 where the panel scalar is unused
     panel_diag_slots: jnp.ndarray
     panel_diag_reg: jnp.ndarray
+
+    def tree_flatten(self):
+        keys = sorted(self.routing.keys())
+        children = (
+            [self.routing[k] for k in keys],
+            self.dx_offsets,
+            self.panel_diag_slots,
+            self.panel_diag_reg,
+        )
+        aux = (
+            tuple(keys), self.n, self.bs, self.P, self.nnzb,
+            self.anchor_diag_slot, self.anchor_off, self.anchor_dim,
+            self.unary_information, self.state_dim,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, n, bs, P, nnzb, ads, ao, ad, ui, sd = aux
+        routing = dict(zip(keys, children[0]))
+        return cls(
+            n=n, bs=bs, P=P, nnzb=nnzb, routing=routing,
+            anchor_diag_slot=ads, anchor_off=ao, anchor_dim=ad,
+            unary_information=ui,
+            dx_offsets=children[1], state_dim=sd,
+            panel_diag_slots=children[2], panel_diag_reg=children[3],
+        )
 
 
 def build_block_plan(

@@ -53,6 +53,23 @@ class DevicePlan(NamedTuple):
     bwd_dst: jnp.ndarray
 
 
+_DP_STATIC = ("n", "nnzb")
+
+
+def _dp_flatten(p):
+    leaves = tuple(getattr(p, f) for f in DevicePlan._fields if f not in _DP_STATIC)
+    return leaves, (p.n, p.nnzb)
+
+
+def _dp_unflatten(aux, leaves):
+    kw = dict(zip(_DP_STATIC, aux))
+    kw.update(zip([f for f in DevicePlan._fields if f not in _DP_STATIC], leaves))
+    return DevicePlan(**kw)
+
+
+jax.tree_util.register_pytree_node(DevicePlan, _dp_flatten, _dp_unflatten)
+
+
 def device_plan(plan) -> DevicePlan:
     return DevicePlan(
         n=int(plan.n),

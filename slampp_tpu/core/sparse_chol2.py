@@ -83,6 +83,41 @@ class PlanV2(NamedTuple):
     bw_ends: jnp.ndarray  # (n_levels, max_cols)
 
 
+# pytree registration: device index arrays are LEAVES (so plans pass as jit
+# arguments rather than closure constants); ints and host-only payloads
+# (col_order, slot_of, rows, cols, diag_slot) are static aux.
+_V2_STATIC = (
+    "n", "n_off", "n_levels", "max_cols", "max_off", "max_ud", "max_uo", "max_fw",
+)
+_V2_HOST = ("col_order", "slot_of", "diag_slot", "rows", "cols")
+
+
+def _v2_flatten(p: "PlanV2"):
+    from slampp_tpu.utils.pytree import Static
+
+    leaves = tuple(
+        getattr(p, f) for f in PlanV2._fields if f not in _V2_STATIC + _V2_HOST
+    )
+    aux = (
+        tuple(getattr(p, f) for f in _V2_STATIC),
+        Static(tuple(getattr(p, f) for f in _V2_HOST)),
+    )
+    return leaves, aux
+
+
+def _v2_unflatten(aux, leaves):
+    statics, host = aux
+    kw = dict(zip(_V2_STATIC, statics))
+    kw.update(zip(_V2_HOST, host.v))
+    kw.update(
+        zip([f for f in PlanV2._fields if f not in _V2_STATIC + _V2_HOST], leaves)
+    )
+    return PlanV2(**kw)
+
+
+jax.tree_util.register_pytree_node(PlanV2, _v2_flatten, _v2_unflatten)
+
+
 def _pad_rows(rows: List[np.ndarray], width: int, fill: int) -> np.ndarray:
     out = np.full((len(rows), width), fill, np.int64)
     for i, r in enumerate(rows):

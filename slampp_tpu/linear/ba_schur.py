@@ -62,6 +62,28 @@ class BASchurPlan(NamedTuple):
     anchor_lm: int  # -1 when the gauge anchor is a camera
 
 
+# Register as a pytree with the scalars static so plans pass as jit ARGUMENTS
+# (closure-captured plans embed megabytes of constants into the MLIR and blow
+# up compile time / crash the remote compiler).
+_BA_STATIC = ("n_c", "n_l", "n_obs", "anchor_cam", "anchor_lm")
+_BA_FIELDS = BASchurPlan._fields
+
+
+def _ba_flatten(p):
+    arrays = tuple(getattr(p, f) for f in _BA_FIELDS if f not in _BA_STATIC)
+    aux = tuple(getattr(p, f) for f in _BA_FIELDS if f in _BA_STATIC)
+    return arrays, aux
+
+
+def _ba_unflatten(aux, arrays):
+    kw = dict(zip([f for f in _BA_FIELDS if f in _BA_STATIC], aux))
+    kw.update(zip([f for f in _BA_FIELDS if f not in _BA_STATIC], arrays))
+    return BASchurPlan(**kw)
+
+
+jax.tree_util.register_pytree_node(BASchurPlan, _ba_flatten, _ba_unflatten)
+
+
 def build_ba_schur_plan(system) -> BASchurPlan:
     """Host symbolic phase from a BA GraphSystem (cam/xyz + edge_p2c)."""
     cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
@@ -269,9 +291,8 @@ class BigBASolver:
     def _prepare(self):
         if self.plan is None:
             self.plan = build_ba_schur_plan(self.system)
-            self._step = jax.jit(
-                lambda c, l, a: ba_schur_lm_step(self.plan, c, l, a)
-            )
+            step = jax.jit(ba_schur_lm_step, static_argnames=("sc_f64",))
+            self._step = lambda c, l, a: step(self.plan, c, l, a)
         cam_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "cam")
         lm_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "xyz")
         cams = jnp.asarray(np.stack([self.system.vertex_state(v) for v in cam_ids]))

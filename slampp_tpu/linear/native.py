@@ -198,13 +198,13 @@ def _native_gn_step_v2_impl(graph: GraphArrays, bp, plan2, mixed: bool, refine: 
     return new_states, dx_norm, chi2
 
 
+_jit_gn_step_v2 = jax.jit(
+    _native_gn_step_v2_impl, static_argnames=("mixed", "refine")
+)
+
+
 def _native_gn_step_v2(graph: GraphArrays, bp, plan2, mixed: bool = False, refine: int = 1):
-    key = ("v2", id(bp), mixed, refine)
-    fn = _step_cache.get(key)
-    if fn is None:
-        fn = jax.jit(lambda g: _native_gn_step_v2_impl(g, bp, plan2, mixed, refine))
-        _step_cache[key] = fn
-    return fn(graph)
+    return _jit_gn_step_v2(graph, bp, plan2, mixed=mixed, refine=refine)
 
 
 def _native_optimize_fused(
@@ -213,36 +213,31 @@ def _native_optimize_fused(
     """K chained GN iterations in ONE jitted program (one dispatch + one
     fetch for a whole batch solve — reference `Optimize(5, ...)` semantics
     minus the early-exit, which Manhattan-class problems never trigger)."""
-    key = ("v2fused", id(bp), n_iters, mixed, refine)
-    fn = _step_cache.get(key)
-    if fn is None:
-
-        def run(g):
-            chi0 = None
-            dxn = None
-            for _ in range(n_iters):
-                states, dxn, chi2 = _native_gn_step_v2_impl(g, bp, plan2, mixed, refine)
-                if chi0 is None:
-                    chi0 = chi2
-                g = g.replace_states(states)
-            from slampp_tpu.core.assembly import graph_chi2
-
-            return g.states, dxn, chi0, graph_chi2(g)
-
-        fn = jax.jit(run)
-        _step_cache[key] = fn
-    return fn(graph)
+    return _jit_fused(graph, bp, plan2, n_iters=n_iters, mixed=mixed, refine=refine)
 
 
-# bp (BlockPlan) holds jnp arrays + python ints; treat it as static-by-identity
-# via a per-plan jit cache
+def _fused_impl(g, bp, plan2, n_iters: int, mixed: bool, refine: int):
+    chi0 = None
+    dxn = None
+    for _ in range(n_iters):
+        states, dxn, chi2 = _native_gn_step_v2_impl(g, bp, plan2, mixed, refine)
+        if chi0 is None:
+            chi0 = chi2
+        g = g.replace_states(states)
+    from slampp_tpu.core.assembly import graph_chi2
+
+    return g.states, dxn, chi0, graph_chi2(g)
+
+
+_jit_fused = jax.jit(_fused_impl, static_argnames=("n_iters", "mixed", "refine"))
+
+
+# Plans are pytrees (arrays as leaves) and pass as jit ARGUMENTS: captured as
+# closure constants they bloat the MLIR by megabytes and multiply remote
+# compile times.
+_jit_gn_step = jax.jit(_native_gn_step_impl, static_argnames=("mixed", "refine"))
 _step_cache: Dict[int, object] = {}
 
 
 def _native_gn_step(graph: GraphArrays, bp, dp, mixed: bool = False, refine: int = 2):
-    key = (id(bp), mixed, refine)
-    fn = _step_cache.get(key)
-    if fn is None:
-        fn = jax.jit(lambda g: _native_gn_step_impl(g, bp, dp, mixed, refine))
-        _step_cache[key] = fn
-    return fn(graph)
+    return _jit_gn_step(graph, bp, dp, mixed=mixed, refine=refine)

@@ -47,6 +47,17 @@ class TakahashiPlan(NamedTuple):
     dg_ends: jnp.ndarray  # (n_levels, max_cols)
 
 
+def _tk_flatten(p):
+    return tuple(getattr(p, f) for f in TakahashiPlan._fields[1:]), (p.max_tk,)
+
+
+def _tk_unflatten(aux, leaves):
+    return TakahashiPlan(aux[0], *leaves)
+
+
+jax.tree_util.register_pytree_node(TakahashiPlan, _tk_flatten, _tk_unflatten)
+
+
 def takahashi_plan(plan: PlanV2) -> TakahashiPlan:
     """Host planning from the factor's own pattern (plan.rows/cols)."""
     n, n_off = plan.n, plan.n_off
