@@ -198,13 +198,13 @@ def _native_gn_step_v2_impl(graph: GraphArrays, bp, plan2, mixed: bool, refine: 
     return new_states, dx_norm, chi2
 
 
-_jit_gn_step_v2 = jax.jit(
-    _native_gn_step_v2_impl, static_argnames=("mixed", "refine")
-)
-
-
 def _native_gn_step_v2(graph: GraphArrays, bp, plan2, mixed: bool = False, refine: int = 1):
-    return _jit_gn_step_v2(graph, bp, plan2, mixed=mixed, refine=refine)
+    key = ("v2", id(bp), mixed, refine)
+    fn = _step_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda g: _native_gn_step_v2_impl(g, bp, plan2, mixed, refine))
+        _step_cache[key] = fn
+    return fn(graph)
 
 
 def _native_optimize_fused(
@@ -213,7 +213,12 @@ def _native_optimize_fused(
     """K chained GN iterations in ONE jitted program (one dispatch + one
     fetch for a whole batch solve — reference `Optimize(5, ...)` semantics
     minus the early-exit, which Manhattan-class problems never trigger)."""
-    return _jit_fused(graph, bp, plan2, n_iters=n_iters, mixed=mixed, refine=refine)
+    key = ("v2fused", id(bp), n_iters, mixed, refine)
+    fn = _step_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda g: _fused_impl(g, bp, plan2, n_iters, mixed, refine))
+        _step_cache[key] = fn
+    return fn(graph)
 
 
 def _fused_impl(g, bp, plan2, n_iters: int, mixed: bool, refine: int):
@@ -229,15 +234,19 @@ def _fused_impl(g, bp, plan2, n_iters: int, mixed: bool, refine: int):
     return g.states, dxn, chi0, graph_chi2(g)
 
 
-_jit_fused = jax.jit(_fused_impl, static_argnames=("n_iters", "mixed", "refine"))
 
-
-# Plans are pytrees (arrays as leaves) and pass as jit ARGUMENTS: captured as
-# closure constants they bloat the MLIR by megabytes and multiply remote
-# compile times.
-_jit_gn_step = jax.jit(_native_gn_step_impl, static_argnames=("mixed", "refine"))
+# Pose-graph-scale plans compile FASTER as closure constants (XLA folds the
+# index arrays and specializes the gathers; measured ~2x on the remote
+# compiler), so the gn-step family closure-captures its plans with a
+# per-plan jit cache.  Venice-scale plans (linear/ba_schur.py) are orders
+# larger and MUST pass as arguments instead.
 _step_cache: Dict[int, object] = {}
 
 
 def _native_gn_step(graph: GraphArrays, bp, dp, mixed: bool = False, refine: int = 2):
-    return _jit_gn_step(graph, bp, dp, mixed=mixed, refine=refine)
+    key = (id(bp), mixed, refine)
+    fn = _step_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda g: _native_gn_step_impl(g, bp, dp, mixed, refine))
+        _step_cache[key] = fn
+    return fn(graph)
