@@ -158,3 +158,28 @@ def apply_update(graph: GraphArrays, dx: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         delta = dxp[idx]
         out[t] = jax.vmap(vt.retract)(st, delta)
     return out
+
+
+def apply_update_gated(
+    graph: GraphArrays, dx: jnp.ndarray, threshold
+) -> Dict[str, jnp.ndarray]:
+    """Threshold-gated vertex updates (fluid relinearization): a vertex only
+    moves when the norm of its tangent update exceeds ``threshold``.
+
+    This is the per-vertex update-threshold economy of the reference's dogleg
+    solver (f_UpdateThreshold, NonlinearSolver_Lambda_DL.h:399,696; default
+    1e-5) and of FastL's threshold-gated back-substituted updates
+    (NonlinearSolver_FastL.h, SURVEY.md §3.2) — vertices that barely move keep
+    their linearization point, so subsequent relinearizations are no-ops for
+    them.  ``threshold=0`` degenerates to :func:`apply_update`.
+    """
+    pad = _dmax(graph)
+    dxp = jnp.concatenate([dx, jnp.zeros((pad,), dx.dtype)])
+    out = {}
+    for t, st in graph.states.items():
+        vt = get_vertex_type(t)
+        idx = graph.vertex_offsets[t][:, None] + jnp.arange(vt.dim)[None, :]
+        delta = dxp[idx]
+        keep = jnp.linalg.norm(delta, axis=1) > threshold
+        out[t] = jax.vmap(vt.retract)(st, jnp.where(keep[:, None], delta, 0.0))
+    return out

@@ -196,3 +196,47 @@ def local_to_other(x_local_owner, owner_cam_log, obs_cam_log):
     obs = sim3_exp(obs_cam_log)
     Xw = transform_tRs(owner, x_local_owner)
     return inv_transform_tRs(obs, Xw)
+
+
+def world_to_local(cam_log, X):
+    """World point -> camera-local frame (first half of project_p2c_xyz)."""
+    return inv_transform_tRs(sim3_exp(cam_log), X)
+
+
+def backproject_ray(uv, intrinsics):
+    """Unit observation ray in the camera frame from a pixel measurement.
+
+    Inverts the radial-distortion model of project_p2c_local_xyz with one
+    fixed-point step (the distortion is mild by construction in the reference
+    datasets; the angle-error study needs direction parity, not sub-pixel
+    undistortion).
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    k = intrinsics[4] / (0.5 * (fx * fy))
+    du = uv[0] - cx
+    dv = uv[1] - cy
+    r2 = du * du + dv * dv
+    d = 1.0 + k * r2  # fixed-point undistort: r2 evaluated at the pixel
+    x = (du / d) / fx
+    y = (dv / d) / fy
+    ray = jnp.stack([x, y, jnp.ones_like(x)])
+    return ray / jnp.linalg.norm(ray)
+
+
+def tangent_angle_error(ray_obs, x_local):
+    """2-DoF angular residual between the observed unit ray and the direction
+    to a camera-local point (the AngleErr residual family of Sim3_Types.h —
+    error measured on the view sphere instead of the image plane).
+
+    Components are the direction's projections onto an orthonormal tangent
+    basis at the observed ray (= sin of the angular deviations); zero iff the
+    directions coincide on the forward hemisphere.
+    """
+    d = x_local / jnp.maximum(jnp.linalg.norm(x_local), 1e-300)
+    # deterministic tangent basis, branch-free for jit
+    pick_y = jnp.abs(ray_obs[0]) > 0.9
+    a = jnp.where(pick_y, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    e1 = jnp.cross(ray_obs, a)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-300)
+    e2 = jnp.cross(ray_obs, e1)
+    return jnp.stack([jnp.dot(d, e1), jnp.dot(d, e2)])

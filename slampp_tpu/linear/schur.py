@@ -49,10 +49,17 @@ class SchurPlan:
         return cls(children[0], children[1], aux[0])
 
 
-def build_schur_plan(system: GraphSystem) -> SchurPlan:
+def build_schur_plan(system: GraphSystem, allow_mis_fallback: bool = True) -> SchurPlan:
     """Derive the landmark/camera partition from vertex types (guided
     ordering).  Requires all landmark types present to share one block size
-    (true for every reference problem: 3D points, 2D landmarks, inv-depth)."""
+    (true for every reference problem: 3D points, 2D landmarks, inv-depth).
+
+    When no vertex type is landmark-like (e.g. a pose-only graph), falls back
+    to a greedy maximum-independent-set elimination ordering — the reference's
+    CSchurOrdering::n_Calculate_Ordering MIS path
+    (include/slam/LinearSolver_Schur.h:275,332): an independent set has a
+    block-diagonal Hessian block by construction, so it Schur-eliminates the
+    same way landmarks do."""
     offsets, total = system._layout()
     lm_offs = []
     lm_dims = set()
@@ -62,7 +69,9 @@ def build_schur_plan(system: GraphSystem) -> SchurPlan:
             lm_offs.append(offsets[vid])
             lm_dims.add(vt.dim)
     if not lm_offs:
-        raise ValueError("no landmark-like vertices to eliminate")
+        if not allow_mis_fallback:
+            raise ValueError("no landmark-like vertices to eliminate")
+        lm_offs, lm_dims = _mis_elimination_set(system, offsets)
     if len(lm_dims) > 1:
         raise ValueError(f"mixed landmark dims not yet supported: {lm_dims}")
     d = lm_dims.pop()
@@ -70,6 +79,38 @@ def build_schur_plan(system: GraphSystem) -> SchurPlan:
     lm_scalar = (lm_offs[:, None] + np.arange(d)[None, :]).reshape(-1)
     cam_idx = np.setdiff1d(np.arange(total, dtype=np.int32), lm_scalar)
     return SchurPlan(jnp.asarray(cam_idx), jnp.asarray(lm_offs), d)
+
+
+def _mis_elimination_set(system: GraphSystem, offsets):
+    """Greedy-MIS elimination set over the vertex graph (host symbolic).
+
+    Candidates are restricted to the most common block dimension so the
+    eliminated diagonal stays uniform (matching the batched D^-1 kernel).
+    """
+    from slampp_tpu.core.ordering import block_adjacency, mis_first_fit
+    from slampp_tpu.graph.types import get_vertex_type as _gvt
+
+    vids = sorted(v for v in system.vertex_index if v in offsets)
+    pos = {v: i for i, v in enumerate(vids)}
+    dims = np.array([_gvt(system.vertex_index[v][0]).dim for v in vids])
+    modal_dim = np.bincount(dims).argmax()
+
+    pairs = []
+    for t in system.edge_type_names:
+        for evids in system._edges[t]["vids"]:
+            ev = [v for v in evids if v in pos]
+            for a in range(len(ev)):
+                for b in range(a + 1, len(ev)):
+                    pairs.append((pos[ev[a]], pos[ev[b]]))
+    adj = block_adjacency(len(vids), pairs)
+    deg = np.diff(adj.indptr)
+    candidates = np.flatnonzero(dims == modal_dim)
+    order = candidates[np.argsort(deg[candidates], kind="stable")]
+    mis = mis_first_fit(adj, order=order)
+    if len(mis) == 0:
+        raise ValueError("MIS fallback produced an empty elimination set")
+    lm_offs = [offsets[vids[i]] for i in mis]
+    return lm_offs, {int(modal_dim)}
 
 
 def schur_solve(H: jnp.ndarray, g: jnp.ndarray, plan: SchurPlan, alpha=0.0):

@@ -239,3 +239,145 @@ EDGE_POSE_CAM_SIM3 = register_edge_type(
         error_fn=_pose_cam_sim3,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Angle-error variants (the second residual axis of the ACRA'15 study:
+# Sim3_Types.h "angle-err" edge grid).  Same vertex grids as the reprojection
+# edges above; the residual is the 2-DoF tangent-plane angular deviation
+# between the observed ray (back-projected pixel) and the predicted landmark
+# direction, measured on the view sphere.
+# ---------------------------------------------------------------------------
+
+
+def _angle_err_local(x_local, uv, intrinsics):
+    ray = sim3.backproject_ray(uv, intrinsics)
+    return sim3.tangent_angle_error(ray, x_local)
+
+
+def _p2c_xyz_sim3_g_angle(xs, z):
+    """CEdgeP2C_XYZ_Sim3_G AngleErr: world landmark vs camsim3, angular."""
+    X, cam = xs
+    return _angle_err_local(sim3.world_to_local(cam[0:7], X), z, cam[7:12])
+
+
+def _p2c_invdepth_sim3_g_angle(xs, z):
+    v, cam = xs
+    return _angle_err_local(
+        sim3.world_to_local(cam[0:7], sim3.invdepth_to_xyz(v)), z, cam[7:12]
+    )
+
+
+def _p2c_xyz_sim3_ls_angle(xs, z):
+    """Self-owned local landmark (unary); z = (u, v, fx, fy, cx, cy, k)."""
+    (x_local,) = xs
+    return _angle_err_local(x_local, z[0:2], z[2:7])
+
+
+def _p2c_invdepth_sim3_ls_angle(xs, z):
+    (v,) = xs
+    return _angle_err_local(sim3.invdepth_to_xyz(v), z[0:2], z[2:7])
+
+
+def _p2c_invdist_sim3_ls_angle(xs, z):
+    (v,) = xs
+    return _angle_err_local(invdist_to_xyz(v), z[0:2], z[2:7])
+
+
+def _p2c_xyz_sim3_lo_angle(xs, z):
+    x_local, owner, obs = xs
+    x_obs = sim3.local_to_other(x_local, owner[0:7], obs[0:7])
+    return _angle_err_local(x_obs, z, obs[7:12])
+
+
+def _p2c_invdepth_sim3_lo_angle(xs, z):
+    v, owner, obs = xs
+    x_obs = sim3.local_to_other(sim3.invdepth_to_xyz(v), owner[0:7], obs[0:7])
+    return _angle_err_local(x_obs, z, obs[7:12])
+
+
+def _p2c_invdist_sim3_lo_angle(xs, z):
+    v, owner, obs = xs
+    x_obs = sim3.local_to_other(invdist_to_xyz(v), owner[0:7], obs[0:7])
+    return _angle_err_local(x_obs, z, obs[7:12])
+
+
+EDGE_P2C_XYZ_SIM3_G_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_xyz_sim3_g_angle",
+        vertex_types=("xyz", "camsim3"),
+        res_dim=2,
+        meas_dim=2,
+        error_fn=_p2c_xyz_sim3_g_angle,
+    )
+)
+
+EDGE_P2C_INVDEPTH_SIM3_G_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdepth_sim3_g_angle",
+        vertex_types=("invdepth", "camsim3"),
+        res_dim=2,
+        meas_dim=2,
+        error_fn=_p2c_invdepth_sim3_g_angle,
+    )
+)
+
+EDGE_P2C_XYZ_SIM3_LS_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_xyz_sim3_ls_angle",
+        vertex_types=("xyz",),
+        res_dim=2,
+        meas_dim=7,
+        error_fn=_p2c_xyz_sim3_ls_angle,
+    )
+)
+
+EDGE_P2C_INVDEPTH_SIM3_LS_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdepth_sim3_ls_angle",
+        vertex_types=("invdepth",),
+        res_dim=2,
+        meas_dim=7,
+        error_fn=_p2c_invdepth_sim3_ls_angle,
+    )
+)
+
+EDGE_P2C_INVDIST_SIM3_LS_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdist_sim3_ls_angle",
+        vertex_types=("invdist",),
+        res_dim=2,
+        meas_dim=7,
+        error_fn=_p2c_invdist_sim3_ls_angle,
+    )
+)
+
+EDGE_P2C_XYZ_SIM3_LO_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_xyz_sim3_lo_angle",
+        vertex_types=("xyz", "camsim3", "camsim3"),
+        res_dim=2,
+        meas_dim=2,
+        error_fn=_p2c_xyz_sim3_lo_angle,
+    )
+)
+
+EDGE_P2C_INVDEPTH_SIM3_LO_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdepth_sim3_lo_angle",
+        vertex_types=("invdepth", "camsim3", "camsim3"),
+        res_dim=2,
+        meas_dim=2,
+        error_fn=_p2c_invdepth_sim3_lo_angle,
+    )
+)
+
+EDGE_P2C_INVDIST_SIM3_LO_ANGLE = register_edge_type(
+    EdgeType(
+        name="edge_p2c_invdist_sim3_lo_angle",
+        vertex_types=("invdist", "camsim3", "camsim3"),
+        res_dim=2,
+        meas_dim=2,
+        error_fn=_p2c_invdist_sim3_lo_angle,
+    )
+)

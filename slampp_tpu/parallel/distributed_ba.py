@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -156,6 +156,396 @@ def _p2c_residual_jacs(point, cam_state, uv):
     r = cam_geo.p2c_error(point, cam_state, uv)
     Jp, Jc = jax.jacfwd(err, argnums=(0, 1))(jnp.zeros(3), jnp.zeros(6))
     return r, Jp, Jc
+
+
+def _segsum(data, starts, ends):
+    """Sorted segment sums via exclusive prefix sums (see linear/ba_schur.py)."""
+    cum0 = jnp.concatenate(
+        [jnp.zeros((1,) + data.shape[1:], data.dtype), jnp.cumsum(data, 0)], 0
+    )
+    return cum0[ends] - cum0[starts]
+
+
+class BigBAShards(NamedTuple):
+    """Venice-scale landmark-sharded BA problem: per-shard observation plans
+    stacked on a leading mesh axis.  Unlike :class:`BAShards`, nothing here is
+    dense in the landmark-x-camera product — the Schur off-diagonal mass is
+    reduced per observation PAIR exactly as in linear/ba_schur.py, so memory
+    per shard is O(local obs + local pairs + (6 n_c)^2 for the reduced camera
+    system).  Mirrors the role of the reference's GPU Schur backend
+    (src/slam/LinearSolver_Schur_GPU.cpp) across a device mesh."""
+
+    cam_states: jnp.ndarray  # (n_c, 11) replicated
+    lm_states: jnp.ndarray  # (n_dev, per, 3) sharded on dim 0
+    lm_valid: jnp.ndarray  # (n_dev, per)
+    obs_cam: jnp.ndarray  # (n_dev, m_max) int32
+    obs_lm: jnp.ndarray  # (n_dev, m_max) int32, LOCAL slot, sorted per shard
+    obs_uv: jnp.ndarray  # (n_dev, m_max, 2)
+    obs_w: jnp.ndarray  # (n_dev, m_max, 2, 2) information (0 on padding)
+    obs_valid: jnp.ndarray  # (n_dev, m_max)
+    lm_starts: jnp.ndarray  # (n_dev, per) int32 segment starts into obs
+    lm_ends: jnp.ndarray  # (n_dev, per) int32
+    pair_e: jnp.ndarray  # (n_dev, p_max) int32 local obs index (row side)
+    pair_f: jnp.ndarray  # (n_dev, p_max) int32 local obs index (col side)
+    pair_flat: jnp.ndarray  # (n_dev, d_max) int32 distinct (ci*n_c+cj); pad=n_c^2
+    pair_starts: jnp.ndarray  # (n_dev, d_max)
+    pair_ends: jnp.ndarray  # (n_dev, d_max)
+    n_c: int
+    per: int
+    anchor_cam: int
+    anchor_lm: int  # GLOBAL padded landmark index (shard = idx // per), or -1
+
+
+_BIG_STATIC = ("n_c", "per", "anchor_cam", "anchor_lm")
+_BIG_FIELDS = BigBAShards._fields
+
+
+def _big_flatten(p):
+    arrays = tuple(getattr(p, f) for f in _BIG_FIELDS if f not in _BIG_STATIC)
+    aux = tuple(getattr(p, f) for f in _BIG_FIELDS if f in _BIG_STATIC)
+    return arrays, aux
+
+
+def _big_unflatten(aux, arrays):
+    kw = dict(zip([f for f in _BIG_FIELDS if f in _BIG_STATIC], aux))
+    kw.update(zip([f for f in _BIG_FIELDS if f not in _BIG_STATIC], arrays))
+    return BigBAShards(**kw)
+
+
+jax.tree_util.register_pytree_node(BigBAShards, _big_flatten, _big_unflatten)
+
+
+def _big_specs(axis: str, n_c=0, per=0, anchor_cam=0, anchor_lm=0) -> BigBAShards:
+    """PartitionSpec pytree matching BigBAShards; statics must EQUAL the
+    shards' statics (pytree aux data participates in structure matching)."""
+    sh = P(axis)
+    return BigBAShards(
+        P(), sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh,
+        n_c, per, anchor_cam, anchor_lm,
+    )
+
+
+def build_big_ba_shards(system, mesh: Mesh, axis: str = "lm") -> BigBAShards:
+    """Host symbolic phase: partition landmarks contiguously over the mesh and
+    build per-shard sorted-segment observation/pair plans."""
+    n_dev = mesh.shape[axis]
+    cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
+    lm_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "xyz")
+    cam_pos = {v: i for i, v in enumerate(cam_ids)}
+    lm_pos = {v: i for i, v in enumerate(lm_ids)}
+    n_c, n_l = len(cam_ids), len(lm_ids)
+    per = (n_l + n_dev - 1) // n_dev
+
+    cam_states = np.stack([system.vertex_state(v) for v in cam_ids])
+    lm_states = np.zeros((n_dev * per, 3))
+    lm_valid = np.zeros(n_dev * per, bool)
+    for i, v in enumerate(lm_ids):
+        lm_states[i] = system.vertex_state(v)
+        lm_valid[i] = True
+
+    rec = system._edges["edge_p2c"]
+    m = len(rec["vids"])
+    oc = np.empty(m, np.int64)
+    ol = np.empty(m, np.int64)
+    for e, vids in enumerate(rec["vids"]):
+        p, c = vids
+        oc[e] = cam_pos[c]
+        ol[e] = lm_pos[p]
+    uv = np.asarray(rec["meas"], float).reshape(m, 2)
+    info = np.asarray(rec["sigma_inv"], float).reshape(m, 2, 2)
+    order = np.argsort(ol, kind="stable")
+    oc, ol, uv, info = oc[order], ol[order], uv[order], info[order]
+    shard_of = ol // per
+
+    # per-shard slices (obs are landmark-sorted, so shards are contiguous)
+    bounds = np.searchsorted(shard_of, np.arange(n_dev + 1))
+    m_max = max(1, int(np.max(bounds[1:] - bounds[:-1])))
+
+    obs_cam = np.zeros((n_dev, m_max), np.int32)
+    obs_lm = np.zeros((n_dev, m_max), np.int32)
+    obs_uv = np.zeros((n_dev, m_max, 2))
+    obs_w = np.zeros((n_dev, m_max, 2, 2))
+    obs_valid = np.zeros((n_dev, m_max), bool)
+    lm_starts = np.zeros((n_dev, per), np.int32)
+    lm_ends = np.zeros((n_dev, per), np.int32)
+    pe_l, pf_l, flat_l, ps_l, pn_l = [], [], [], [], []
+    for s in range(n_dev):
+        a, b = int(bounds[s]), int(bounds[s + 1])
+        k = b - a
+        loc = (ol[a:b] - s * per).astype(np.int32)
+        obs_cam[s, :k] = oc[a:b]
+        obs_lm[s, :k] = loc
+        obs_uv[s, :k] = uv[a:b]
+        obs_w[s, :k] = info[a:b]
+        obs_valid[s, :k] = True
+        lm_starts[s] = np.searchsorted(loc, np.arange(per))
+        lm_ends[s] = np.searchsorted(loc, np.arange(per) + 1)
+        # observation pairs per local landmark
+        pe, pf = [], []
+        st, en = lm_starts[s], lm_ends[s]
+        for l in range(per):
+            idx = np.arange(st[l], en[l])
+            if len(idx) == 0:
+                continue
+            E, F = np.meshgrid(idx, idx, indexing="ij")
+            pe.append(E.ravel())
+            pf.append(F.ravel())
+        pe = np.concatenate(pe) if pe else np.zeros(0, np.int64)
+        pf = np.concatenate(pf) if pf else np.zeros(0, np.int64)
+        flat = oc[a:b][pe] * n_c + oc[a:b][pf] if len(pe) else np.zeros(0, np.int64)
+        po = np.argsort(flat, kind="stable")
+        pe, pf, flat = pe[po], pf[po], flat[po]
+        distinct, starts = np.unique(flat, return_index=True)
+        ends = np.concatenate([starts[1:], [len(flat)]]) if len(starts) else starts
+        pe_l.append(pe)
+        pf_l.append(pf)
+        flat_l.append(distinct)
+        ps_l.append(starts)
+        pn_l.append(ends)
+    p_max = max(1, max(len(x) for x in pe_l))
+    d_max = max(1, max(len(x) for x in flat_l))
+    pair_e = np.zeros((n_dev, p_max), np.int32)
+    pair_f = np.zeros((n_dev, p_max), np.int32)
+    pair_flat = np.full((n_dev, d_max), n_c * n_c, np.int32)  # pad -> dump slot
+    pair_starts = np.zeros((n_dev, d_max), np.int32)
+    pair_ends = np.zeros((n_dev, d_max), np.int32)
+    for s in range(n_dev):
+        pair_e[s, : len(pe_l[s])] = pe_l[s]
+        pair_f[s, : len(pf_l[s])] = pf_l[s]
+        pair_flat[s, : len(flat_l[s])] = flat_l[s]
+        pair_starts[s, : len(ps_l[s])] = ps_l[s]
+        pair_ends[s, : len(pn_l[s])] = pn_l[s]
+
+    av = system._unary_anchor
+    if av in cam_pos:
+        anchor_cam, anchor_lm = cam_pos[av], -1
+    elif av in lm_pos:
+        anchor_cam, anchor_lm = -1, lm_pos[av]
+    else:
+        anchor_cam, anchor_lm = 0, -1
+
+    shards = BigBAShards(
+        jnp.asarray(cam_states),
+        jnp.asarray(lm_states.reshape(n_dev, per, 3)),
+        jnp.asarray(lm_valid.reshape(n_dev, per)),
+        jnp.asarray(obs_cam),
+        jnp.asarray(obs_lm),
+        jnp.asarray(obs_uv),
+        jnp.asarray(obs_w),
+        jnp.asarray(obs_valid),
+        jnp.asarray(lm_starts),
+        jnp.asarray(lm_ends),
+        jnp.asarray(pair_e),
+        jnp.asarray(pair_f),
+        jnp.asarray(pair_flat),
+        jnp.asarray(pair_starts),
+        jnp.asarray(pair_ends),
+        int(n_c),
+        int(per),
+        int(anchor_cam),
+        int(anchor_lm),
+    )
+    spec = _big_specs(axis)
+    leaves, treedef = jax.tree_util.tree_flatten(shards)
+    spec_leaves = jax.tree_util.tree_flatten(spec)[0]
+    placed = [
+        jax.device_put(x, NamedSharding(mesh, s)) for x, s in zip(leaves, spec_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+@functools.lru_cache(maxsize=None)
+def _big_step_fn(mesh: Mesh, axis: str, n_c: int, per: int, anchor_cam: int,
+                 anchor_lm: int):
+    """Compiled-step cache: one jitted shard_map per (mesh, problem statics);
+    jit handles shape-based retraces for the sharded arrays."""
+    spec = _big_specs(axis, n_c, per, anchor_cam, anchor_lm)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=(P(), P(axis), P(), P(), P()),
+        check_vma=False,
+    )
+    def step(sh: BigBAShards, alpha):
+        lm_states = sh.lm_states[0]  # (per, 3) local block
+        obs_cam = sh.obs_cam[0]
+        obs_lm = sh.obs_lm[0]
+        valid = sh.obs_valid[0]
+        W = sh.obs_w[0]  # zero on padding
+        shard_id = jax.lax.axis_index(axis)
+
+        r, Jp, Jc = jax.vmap(_p2c_residual_jacs)(
+            lm_states[obs_lm], sh.cam_states[obs_cam], sh.obs_uv[0]
+        )
+        # padding obs can produce NaN jacobians (degenerate geometry): mask out
+        r = jnp.where(valid[:, None], r, 0.0)
+        Jp = jnp.where(valid[:, None, None], Jp, 0.0)
+        Jc = jnp.where(valid[:, None, None], Jc, 0.0)
+        chi2 = jax.lax.psum(jnp.sum(jnp.einsum("ei,eij,ej->e", r, W, r)), axis)
+
+        WJc = jnp.einsum("eij,ejk->eik", W, Jc)
+        WJp = jnp.einsum("eij,ejk->eik", W, Jp)
+
+        # landmark blocks + rhs: sorted segments over local obs
+        ls, le = sh.lm_starts[0], sh.lm_ends[0]
+        D = _segsum(jnp.einsum("eij,eik->ejk", Jp, WJp), ls, le)
+        g_l = _segsum(jnp.einsum("eij,ei->ej", WJp, r), ls, le)
+        D = D + alpha * jnp.eye(3)
+        if sh.anchor_lm >= 0:
+            loc = sh.anchor_lm - shard_id * per
+            mine = jnp.logical_and(loc >= 0, loc < per)
+            D = D.at[jnp.clip(loc, 0, per - 1)].add(
+                jnp.where(mine, 1.0, 0.0) * jnp.eye(3)
+            )
+        D = jnp.where(sh.lm_valid[0][:, None, None], D, jnp.eye(3)[None])
+        Dinv = jnp.linalg.inv(D)
+
+        # camera block-diagonal partials (scatter-add over local obs)
+        Hcc_e = jnp.einsum("eij,eik->ejk", Jc, WJc)
+        gc_e = jnp.einsum("eij,ei->ej", WJc, r)
+        Hcc_diag = jax.ops.segment_sum(Hcc_e, obs_cam, num_segments=n_c)
+        g_c = jax.ops.segment_sum(gc_e, obs_cam, num_segments=n_c)
+
+        # couplings + pair-reduced SC mass
+        B = jnp.einsum("eij,eik->ejk", Jc, WJp)  # (m, 6, 3)
+        BD = jnp.einsum("eij,ejk->eik", B, Dinv[obs_lm])
+        prod = jnp.einsum(
+            "eij,ekj->eik", BD[sh.pair_e[0]], B[sh.pair_f[0]]
+        )
+        pair_sums = _segsum(prod, sh.pair_starts[0], sh.pair_ends[0])
+        SC_flat = jnp.zeros((n_c * n_c + 1, 6, 6))
+        SC_flat = SC_flat.at[sh.pair_flat[0]].add(
+            -pair_sums, indices_are_sorted=True
+        )
+        SC_part = SC_flat[: n_c * n_c].reshape(n_c, n_c, 6, 6)
+        diag_idx = jnp.arange(n_c)
+        SC_part = SC_part.at[diag_idx, diag_idx].add(Hcc_diag)
+        SC_part = jnp.transpose(SC_part, (0, 2, 1, 3)).reshape(n_c * 6, n_c * 6)
+
+        r2_e = jnp.einsum("eij,ej->ei", BD, g_l[obs_lm])
+        r2 = jax.ops.segment_sum(r2_e, obs_cam, num_segments=n_c)
+        rhs_part = -(g_c - r2).reshape(-1)
+
+        SC = jax.lax.psum(SC_part, axis)
+        rhs = jax.lax.psum(rhs_part, axis)
+
+        SC = SC + alpha * jnp.eye(n_c * 6)
+        if sh.anchor_cam >= 0:
+            aidx = sh.anchor_cam * 6 + jnp.arange(6)
+            SC = SC.at[aidx, aidx].add(1.0)
+
+        L = jax.lax.linalg.cholesky(SC, symmetrize_input=True)
+        y = jax.lax.linalg.triangular_solve(
+            L, rhs[:, None], left_side=True, lower=True
+        )
+        dx_c = jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+
+        # landmark back-substitution (shard-local)
+        dxc_blocks = dx_c.reshape(n_c, 6)
+        bt_e = jnp.einsum("eij,ei->ej", B, dxc_blocks[obs_cam])
+        BT = _segsum(bt_e, ls, le)
+        dx_l = jnp.einsum("lij,lj->li", Dinv, -g_l - BT)
+        dx_l = jnp.where(sh.lm_valid[0][:, None], dx_l, 0.0)
+
+        new_cams = jax.vmap(
+            lambda s, d: jnp.concatenate([se3.plus(s[0:6], d), s[6:11]])
+        )(sh.cam_states, dxc_blocks)
+        new_lms = (lm_states + dx_l)[None]
+
+        sq = jnp.dot(dx_c, dx_c) + jax.lax.psum(jnp.sum(dx_l * dx_l), axis)
+        # full-gradient LM gain denominator: the camera gradient must be the
+        # psum-ed total; the landmark part stays shard-local
+        g_c_tot = jax.lax.psum(g_c, axis)
+        g_dot = jnp.sum(dxc_blocks * g_c_tot) + jax.lax.psum(
+            jnp.sum(dx_l * g_l), axis
+        )
+        denom = alpha * sq - g_dot
+        return new_cams, new_lms, jnp.sqrt(sq), chi2, denom
+
+    return jax.jit(step)
+
+
+def distributed_big_ba_step(shards: BigBAShards, mesh: Mesh, alpha, axis: str = "lm"):
+    """One damped (LM) BA iteration, observation-driven, landmark-sharded.
+
+    Per shard: local landmark blocks + pair-reduced SC contribution; ONE psum
+    of (SC, rhs, chi2) over the mesh; replicated dense SC Cholesky; shard-local
+    landmark back-substitution.  Identical math to
+    linear/ba_schur.py:ba_schur_lm_step — tested equal on the virtual mesh.
+    Returns (new_cams (replicated), new_lms (sharded), dx_norm, chi2, denom).
+    """
+    step = _big_step_fn(
+        mesh, axis, shards.n_c, shards.per, shards.anchor_cam, shards.anchor_lm
+    )
+    return step(shards, jnp.asarray(alpha, jnp.float64))
+
+
+class DistributedBigBASolver:
+    """LM driver over the landmark-sharded observation-driven Schur step —
+    the multi-chip Venice-class solver (SURVEY.md §2.12 'distributed Schur
+    reduction'; new capability vs the single-process reference)."""
+
+    def __init__(self, system, mesh: Mesh, axis: str = "lm", verbose: bool = False,
+                 tau: float = 1e-3):
+        self.system = system
+        self.mesh = mesh
+        self.axis = axis
+        self.verbose = verbose
+        self.tau = tau
+        self.shards = None
+
+    def _prepare(self):
+        if self.shards is None:
+            self.shards = build_big_ba_shards(self.system, self.mesh, self.axis)
+        return self.shards
+
+    def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
+        sh = self._prepare()
+        alpha = self.tau * 1e3
+        nu = 2.0
+        _, _, _, chi2, _ = distributed_big_ba_step(sh, self.mesh, 0.0, self.axis)
+        last_error = float(chi2)
+        applied = 0
+        for _ in range(max_iterations):
+            nc, nl, dxn, chi2, denom = distributed_big_ba_step(
+                sh, self.mesh, alpha, self.axis
+            )
+            if not np.isfinite(float(dxn)) or float(dxn) <= min_dx_norm:
+                break
+            cand = sh._replace(cam_states=nc, lm_states=nl)
+            _, _, _, chi2_new, _ = distributed_big_ba_step(
+                cand, self.mesh, alpha, self.axis
+            )
+            f_error = float(chi2_new)
+            rho = (last_error - f_error) / max(float(denom), 1e-300)
+            if rho > 0:
+                alpha *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                nu = 2.0
+                sh = cand
+                last_error = f_error
+                applied += 1
+                if self.verbose:
+                    print(f"DistBigBA: accepted chi2={f_error:.2f} alpha={alpha:.2e}")
+            else:
+                alpha *= nu
+                nu *= 2.0
+                if self.verbose:
+                    print(f"DistBigBA: rejected chi2={f_error:.2f} alpha={alpha:.2e}")
+        self.shards = sh
+        # write back
+        cam_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "cam")
+        lm_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "xyz")
+        cams_np = np.asarray(sh.cam_states)
+        lms_np = np.asarray(sh.lm_states).reshape(-1, 3)
+        for i, v in enumerate(cam_ids):
+            self.system.set_vertex_state(v, cams_np[i])
+        for i, v in enumerate(lm_ids):
+            self.system.set_vertex_state(v, lms_np[i])
+        return applied
 
 
 def distributed_ba_lm_step(shards: BAShards, mesh: Mesh, alpha, axis: str = "lm"):

@@ -21,8 +21,11 @@ from slampp_tpu.utils.timer import PhaseTimer
 
 
 @jax.jit
-def _dogleg_step(graph: GraphArrays, delta):
-    """Returns (new_states, dx, predicted_reduction, dx_norm, chi2_at_entry)."""
+def _dogleg_step(graph: GraphArrays, delta, relin_threshold=0.0):
+    """Returns (new_states, dx, predicted_reduction, dx_norm, chi2_at_entry).
+
+    ``relin_threshold`` > 0 enables fluid relinearization: per-vertex updates
+    below the threshold are suppressed (NonlinearSolver_Lambda_DL.h:399)."""
     H, g, chi2 = assembly.assemble_dense(graph)
     dx_gn = solve_spd(H, -g)
     gTg = jnp.dot(g, g)
@@ -50,7 +53,7 @@ def _dogleg_step(graph: GraphArrays, delta):
     )
     # predicted reduction of 0.5*chi2 linear model: -g.dx - 0.5 dx.H.dx
     pred = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, H @ dx))
-    new_states = assembly.apply_update(graph, dx)
+    new_states = assembly.apply_update_gated(graph, dx, relin_threshold)
     return new_states, dx, pred, jnp.linalg.norm(dx), chi2
 
 
@@ -68,11 +71,13 @@ class DoglegSolver:
         verbose: bool = False,
         pad: bool = False,
         initial_radius: float = 2.0,
+        relin_threshold: float = 0.0,  # reference default in DL: 1e-5
     ):
         self.system = system
         self.verbose = verbose
         self.pad = pad
         self.radius = initial_radius
+        self.relin_threshold = relin_threshold
         self.timer = PhaseTimer()
         self.n_iterations = 0
 
@@ -85,7 +90,9 @@ class DoglegSolver:
         for it in range(max_iterations):
             self.n_iterations += 1
             with self.timer.phase("dogleg_step"):
-                new_states, dx, pred, dx_norm, _ = _dogleg_step(graph, self.radius)
+                new_states, dx, pred, dx_norm, _ = _dogleg_step(
+                    graph, self.radius, self.relin_threshold
+                )
                 dx_norm = float(dx_norm)
             if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
                 break

@@ -24,10 +24,12 @@ from slampp_tpu.utils.timer import PhaseTimer
 
 
 @jax.jit
-def _gn_step(graph: GraphArrays, plan=None):
+def _gn_step(graph: GraphArrays, plan=None, update_threshold=0.0):
     """One GN iteration: returns (new_states, dx_norm, chi2_at_entry).
 
-    With a SchurPlan, the solve eliminates landmarks first (the -us path)."""
+    With a SchurPlan, the solve eliminates landmarks first (the -us path).
+    ``update_threshold`` > 0 gates per-vertex updates (FastL-style
+    threshold-gated back-substitution, SURVEY.md §3.2)."""
     H, g, chi2 = assembly.assemble_dense(graph)
     if plan is not None:
         from slampp_tpu.linear.schur import schur_solve
@@ -36,7 +38,7 @@ def _gn_step(graph: GraphArrays, plan=None):
     else:
         dx = solve_dense(H, g)
     dx_norm = jnp.linalg.norm(dx)
-    new_states = assembly.apply_update(graph, dx)
+    new_states = assembly.apply_update_gated(graph, dx, update_threshold)
     return new_states, dx_norm, chi2
 
 

@@ -52,6 +52,7 @@ class IncrementalSolver:
         max_iterations: int = 5,
         min_dx_norm: float = 0.01,
         require_loop_closure: bool = True,
+        update_threshold: float = 0.0,  # FastL-style per-vertex update gate
         verbose: bool = False,
     ):
         self.system = system
@@ -59,6 +60,7 @@ class IncrementalSolver:
         self.max_iterations = max_iterations
         self.min_dx_norm = min_dx_norm
         self.require_loop_closure = require_loop_closure
+        self.update_threshold = update_threshold
         self.verbose = verbose
         self.timer = PhaseTimer()
         self.n_steps = 0
@@ -103,7 +105,7 @@ class IncrementalSolver:
         applied = 0
         for _ in range(self.max_iterations):
             with self.timer.phase("gn_step"):
-                new_states, dx_norm, chi2 = _gn_step(graph, None)
+                new_states, dx_norm, chi2 = _gn_step(graph, None, self.update_threshold)
                 dx_norm = float(dx_norm)
             self.n_iterations += 1
             if dx_norm <= self.min_dx_norm or not np.isfinite(dx_norm):

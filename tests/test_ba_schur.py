@@ -78,3 +78,62 @@ def test_big_ba_solver_converges_like_lm():
     assert chi_big < 3.0 * dof
     # same optimum within a loose band (different damping trajectories)
     assert abs(chi_big - chi_lm) < 0.05 * max(chi_lm, 1.0)
+
+
+def test_mis_fallback_schur_on_pose_only_graph():
+    """Pose-only graph (no landmark-typed vertices): the MIS fallback ordering
+    (reference CSchurOrdering, LinearSolver_Schur.h:275) must produce a valid
+    elimination set and the Schur solve must equal the dense solve."""
+    from slampp_tpu.io.datasets import make_manhattan
+    from slampp_tpu.linear.dense import solve_spd
+
+    text, _ = make_manhattan(n_poses=80, loop_prob=0.4, seed=5)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    plan = build_schur_plan(system)  # falls back to MIS
+    n_l = int(plan.lm_offsets.shape[0])
+    assert n_l > 0
+    # MIS on a pose chain with loop closures should eliminate a sizable chunk
+    assert n_l >= len(system.vertex_index) // 4
+
+    graph = system.snapshot()
+    H, g, _ = jax.jit(assembly.assemble_dense)(graph)
+    alpha = 1e-3
+    dx_schur = schur_solve(H, g, plan, alpha=alpha)
+    dx_dense = solve_spd(
+        H + alpha * jnp.eye(H.shape[0], dtype=H.dtype), -g
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_schur), np.asarray(dx_dense), atol=1e-8
+    )
+
+
+def test_mis_first_fit_is_independent_and_maximal():
+    from scipy import sparse as sp
+
+    from slampp_tpu.core.ordering import mis_first_fit
+
+    rng = np.random.default_rng(0)
+    n = 200
+    i = rng.integers(0, n, 600)
+    j = rng.integers(0, n, 600)
+    m = i != j
+    adj = sp.csr_matrix(
+        (np.ones(m.sum() * 2, np.int8),
+         (np.concatenate([i[m], j[m]]), np.concatenate([j[m], i[m]]))),
+        shape=(n, n),
+    )
+    adj.data[:] = 1
+    mis = mis_first_fit(adj)
+    dense = adj.toarray()
+    # independent: no edges within the set
+    assert not dense[np.ix_(mis, mis)].any()
+    # maximal: every vertex outside the set has a neighbour inside
+    outside = np.setdiff1d(np.arange(n), mis)
+    assert all(dense[v, mis].any() for v in outside)

@@ -63,3 +63,69 @@ def test_distributed_ba_step_matches_single_device():
         np.testing.assert_allclose(
             lms_np[i], np.asarray(ref_states["xyz"][li]), atol=1e-9
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_distributed_big_ba_step_matches_obs_driven_single_device():
+    """Venice-class path: landmark-sharded observation-driven Schur step must
+    equal linear/ba_schur.py's single-device step."""
+    from slampp_tpu.linear.ba_schur import build_ba_schur_plan, ba_schur_lm_step
+    from slampp_tpu.parallel.distributed_ba import (
+        build_big_ba_shards,
+        distributed_big_ba_step,
+    )
+
+    text, _ = make_ba_scene(n_cams=6, n_points=67, obs_per_point=4, seed=3)
+    with tempfile.NamedTemporaryFile("w", suffix=".g2o", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    alpha = 1e-2
+    plan = build_ba_schur_plan(system)
+    cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
+    lm_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "xyz")
+    cams = jnp.asarray(np.stack([system.vertex_state(v) for v in cam_ids]))
+    lms = jnp.asarray(np.stack([system.vertex_state(v) for v in lm_ids]))
+    ref_cams, ref_lms, ref_norm, ref_chi2, ref_denom = jax.jit(
+        ba_schur_lm_step, static_argnames=("sc_f64",)
+    )(plan, cams, lms, alpha)
+
+    mesh = make_mesh(len(jax.devices()), axis="lm")
+    shards = build_big_ba_shards(system, mesh)
+    new_cams, new_lms, dx_norm, chi2, denom = distributed_big_ba_step(
+        shards, mesh, alpha
+    )
+
+    assert abs(float(chi2) - float(ref_chi2)) < 1e-9 * max(1.0, float(ref_chi2))
+    np.testing.assert_allclose(float(dx_norm), float(ref_norm), rtol=1e-9)
+    np.testing.assert_allclose(float(denom), float(ref_denom), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(new_cams), np.asarray(ref_cams), atol=1e-9)
+    lms_np = np.asarray(new_lms).reshape(-1, 3)[: len(lm_ids)]
+    np.testing.assert_allclose(lms_np, np.asarray(ref_lms), atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_distributed_big_ba_solver_converges():
+    from slampp_tpu.parallel.distributed_ba import DistributedBigBASolver
+
+    text, _ = make_ba_scene(n_cams=5, n_points=40, obs_per_point=4, seed=4)
+    with tempfile.NamedTemporaryFile("w", suffix=".g2o", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    graph = system.snapshot()
+    chi2_0 = float(jax.jit(assembly.graph_chi2)(graph))
+    mesh = make_mesh(len(jax.devices()), axis="lm")
+    solver = DistributedBigBASolver(system, mesh)
+    applied = solver.optimize(max_iterations=10, min_dx_norm=1e-8)
+    assert applied > 0
+    chi2_1 = float(jax.jit(assembly.graph_chi2)(system.snapshot()))
+    assert chi2_1 < chi2_0 * 0.5

@@ -200,3 +200,43 @@ def test_invdist_ls_edge_converges():
     np.testing.assert_allclose(
         np.asarray(invdist_to_xyz(jnp.asarray(st))), X_true, atol=1e-5
     )
+
+
+def test_angle_error_zero_at_exact_observation():
+    """Angle-error residual (Sim3_Types.h AngleErr family) must vanish when
+    the pixel observation is exact, and grow with angular deviation."""
+    intr = jnp.array([400.0, 400.0, 320.0, 240.0, 0.05])
+    x_local = jnp.array([0.3, -0.2, 2.0])
+    uv = g_sim3.project_p2c_local_xyz(x_local, intr)
+    ray = g_sim3.backproject_ray(uv, intr)
+    r = g_sim3.tangent_angle_error(ray, x_local)
+    assert float(jnp.linalg.norm(r)) < 1e-3  # fixed-point undistort tolerance
+    # no distortion: exactly zero
+    intr0 = intr.at[4].set(0.0)
+    uv0 = g_sim3.project_p2c_local_xyz(x_local, intr0)
+    r0 = g_sim3.tangent_angle_error(g_sim3.backproject_ray(uv0, intr0), x_local)
+    assert float(jnp.linalg.norm(r0)) < 1e-12
+    # a rotated direction produces ~the rotation angle
+    c, s = np.cos(0.01), np.sin(0.01)
+    R = jnp.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    r1 = g_sim3.tangent_angle_error(g_sim3.backproject_ray(uv0, intr0), R @ x_local)
+    # deviation = theta * sin(angle(v, axis)) — within 1% of theta here
+    np.testing.assert_allclose(float(jnp.linalg.norm(r1)), 0.01, rtol=1e-2)
+
+
+def test_sim3_ba_angle_error_lm_converges():
+    """LM over angle-error edges (the ACRA study's second residual axis) must
+    recover the same scene as the reprojection edges."""
+    # angular information: sigma_px / f ~ 0.5/400 rad  ->  info = (f/0.5)^2
+    system, pts = _sim3_ba_system(edge="edge_p2c_xyz_sim3_g_angle")
+    # rescale informations to angular units so chi2/dof is comparable
+    rec = system._edges["edge_p2c_xyz_sim3_g_angle"]
+    for i in range(len(rec["sigma_inv"])):
+        rec["sigma_inv"][i] = np.eye(2) * (400.0 / 0.5) ** 2
+    solver = LevenbergMarquardtSolver(system)
+    chi2_0 = solver.chi2()
+    solver.optimize(max_iterations=10, min_dx_norm=1e-8)
+    chi2 = solver.chi2()
+    assert chi2 < chi2_0 * 0.05
+    dof = system.chi2_dof()
+    assert chi2 < 3.0 * dof

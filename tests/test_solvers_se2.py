@@ -99,3 +99,31 @@ def test_manhattan_batch_convergence():
     est = np.stack([system.vertex_state(v) for v in range(300)])
     ate = ate_rmse(est[:, :2], gt[:, :2])
     assert ate < 0.5
+
+
+def test_dogleg_with_fluid_relinearization_converges():
+    """Fluid relinearization (per-vertex update threshold, reference default
+    1e-5 in NonlinearSolver_Lambda_DL.h:399) must not change the optimum it
+    converges to, and a huge threshold must freeze all vertices."""
+    import jax
+
+    from slampp_tpu.core import assembly
+    from slampp_tpu.solvers.dogleg import DoglegSolver
+
+    text, _ = make_manhattan(n_poses=60, loop_prob=0.4, seed=7)
+    sys_a = _system_from_text(text)
+    sys_b = _system_from_text(text)
+    sys_c = _system_from_text(text)
+
+    plain = DoglegSolver(sys_a, initial_radius=10.0)
+    plain.optimize(max_iterations=20, min_dx_norm=1e-9)
+    fluid = DoglegSolver(sys_b, initial_radius=10.0, relin_threshold=1e-5)
+    fluid.optimize(max_iterations=20, min_dx_norm=1e-9)
+    assert abs(fluid.chi2() - plain.chi2()) < 1e-3 * max(1.0, plain.chi2())
+
+    # threshold larger than any step: nothing moves
+    frozen = DoglegSolver(sys_c, initial_radius=10.0, relin_threshold=1e9)
+    g0 = sys_c.snapshot()
+    chi2_0 = float(jax.jit(assembly.graph_chi2)(g0))
+    frozen.optimize(max_iterations=3, min_dx_norm=1e-9)
+    assert abs(frozen.chi2() - chi2_0) < 1e-12 * max(1.0, chi2_0)
