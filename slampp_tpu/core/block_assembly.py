@@ -85,6 +85,20 @@ class BlockPlan:
     # (n,) diag slot per panel + (n, P) 1.0 where the panel scalar is unused
     panel_diag_slots: jnp.ndarray
     panel_diag_reg: jnp.ndarray
+    # ---- sorted (scatter-free) assembly arrays; see assemble_blocks_sorted.
+    # host-fixed gather permutation over the concatenated per-type Hessian
+    # contribution terms, segment boundaries into the permuted cumsum, and
+    # the inverse map that places reduced fine (bs x bs) blocks into the
+    # (nnzb, panel, panel) cell grid of the packed panel array.
+    type_order: Tuple = ()
+    asm_perm: Optional[jnp.ndarray] = None  # (T,)
+    asm_starts: Optional[jnp.ndarray] = None  # (F,)
+    asm_ends: Optional[jnp.ndarray] = None  # (F,)
+    asm_inv_map: Optional[jnp.ndarray] = None  # (nnzb*pn*pn,) in [0..F]
+    rhs_perm: Optional[jnp.ndarray] = None  # (Tr,)
+    rhs_starts: Optional[jnp.ndarray] = None  # (Fr,)
+    rhs_ends: Optional[jnp.ndarray] = None  # (Fr,)
+    rhs_inv_map: Optional[jnp.ndarray] = None  # (n*pn,) in [0..Fr]
 
     def tree_flatten(self):
         keys = sorted(self.routing.keys())
@@ -93,17 +107,19 @@ class BlockPlan:
             self.dx_offsets,
             self.panel_diag_slots,
             self.panel_diag_reg,
+            self.asm_perm, self.asm_starts, self.asm_ends, self.asm_inv_map,
+            self.rhs_perm, self.rhs_starts, self.rhs_ends, self.rhs_inv_map,
         )
         aux = (
             tuple(keys), self.n, self.bs, self.P, self.nnzb,
             self.anchor_diag_slot, self.anchor_off, self.anchor_dim,
-            self.unary_information, self.state_dim,
+            self.unary_information, self.state_dim, self.type_order,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, n, bs, P, nnzb, ads, ao, ad, ui, sd = aux
+        keys, n, bs, P, nnzb, ads, ao, ad, ui, sd, torder = aux
         routing = dict(zip(keys, children[0]))
         return cls(
             n=n, bs=bs, P=P, nnzb=nnzb, routing=routing,
@@ -111,6 +127,10 @@ class BlockPlan:
             unary_information=ui,
             dx_offsets=children[1], state_dim=sd,
             panel_diag_slots=children[2], panel_diag_reg=children[3],
+            type_order=torder,
+            asm_perm=children[4], asm_starts=children[5], asm_ends=children[6],
+            asm_inv_map=children[7], rhs_perm=children[8], rhs_starts=children[9],
+            rhs_ends=children[10], rhs_inv_map=children[11],
         )
 
 
@@ -146,6 +166,15 @@ def build_block_plan(
         p = int(inv_order[block_of_vid[vid]])
         return p // panel, (p % panel) * bs
 
+    # fine-granularity destinations for the sorted (scatter-free) assembly:
+    # one entry per contribution term, encoded fi*NF + fj (fi >= fj), in the
+    # exact order the device concatenates terms (type, then diag a, then
+    # pair k, each an (E,) chunk).  SENT marks dropped terms (const vertices).
+    NF = n_panels * panel
+    SENT = NF * NF + 1
+    fine_dests: list = []
+    rhs_dests: list = []
+
     routing: Dict[str, EdgeRouting] = {}
     for tname in system.edge_type_names:
         et = get_edge_type(tname)
@@ -161,6 +190,9 @@ def build_block_plan(
         proffs = np.zeros((E, len(pairs)), np.int64)
         pcoffs = np.zeros((E, len(pairs)), np.int64)
         ptrans = np.zeros((E, len(pairs)), bool)
+        fd_diag = np.full((E, arity), SENT, np.int64)
+        fd_pair = np.full((E, len(pairs)), SENT, np.int64)
+        fd_rhs = np.full((E, arity), NF, np.int64)
         for e, vids in enumerate(rec["vids"]):
             locs = []
             for s, vid in enumerate(vids):
@@ -171,9 +203,18 @@ def build_block_plan(
                     doffs[e, s] = w
                     rrows[e, s] = pan
                     roffs[e, s] = w
+                    pf = pan * panel + w // bs  # fine permuted index
+                    fd_diag[e, s] = pf * NF + pf
+                    fd_rhs[e, s] = pf
                 else:
                     locs.append(None)  # const vertex
             for k, (a, b) in enumerate(pairs):
+                if locs[a] is not None and locs[b] is not None:
+                    (pa_, wa_), (pb_, wb_) = locs[a], locs[b]
+                    fa = pa_ * panel + wa_ // bs
+                    fb = pb_ * panel + wb_ // bs
+                    fine_i, fine_j = max(fa, fb), min(fa, fb)
+                    fd_pair[e, k] = fine_i * NF + fine_j
                 if locs[a] is None or locs[b] is None:
                     continue
                 (pa, wa), (pb, wb) = locs[a], locs[b]
@@ -207,6 +248,12 @@ def build_block_plan(
             pair_transpose=jnp.asarray(ptrans),
             pairs=pairs,
         )
+        for a in range(arity):
+            fine_dests.append(fd_diag[:, a])
+        for k in range(len(pairs)):
+            fine_dests.append(fd_pair[:, k])
+        for a in range(arity):
+            rhs_dests.append(fd_rhs[:, a])
 
     anchor = system._unary_anchor
     if anchor is not None and anchor in block_of_vid:
@@ -228,6 +275,54 @@ def build_block_plan(
         o = offsets[vid]
         dx_off[pan, w : w + bs] = o + np.arange(bs)
         reg[pan, w : w + bs] = 0.0
+
+    # ---- sorted (scatter-free) assembly plan: sort contribution terms by
+    # fine destination, reduce with prefix-sum segment differences, place the
+    # reduced blocks into panel cells with ONE gather (the same construction
+    # the v2 factor engine uses; no scatter touches the numeric phase).
+    dests_all = (
+        np.concatenate(fine_dests) if fine_dests else np.zeros(0, np.int64)
+    )
+    asm_order = np.argsort(dests_all, kind="stable")
+    sorted_d = dests_all[asm_order]
+    n_kept = int(np.searchsorted(sorted_d, SENT))
+    uniq, starts = np.unique(sorted_d[:n_kept], return_index=True)
+    ends = np.concatenate([starts[1:], [n_kept]]).astype(np.int64) if len(uniq) else np.zeros(0, np.int64)
+    F = len(uniq)
+    # slot -> (i, j) panel coordinates (invert slot_of; diag slots from table)
+    ij_of = {int(s_): (int(i_), int(j_)) for (i_, j_), s_ in slot_of.items()}
+    for pan_ in range(n_panels):
+        ij_of.setdefault(int(diag_slot[pan_]), (pan_, pan_))
+    slot_i = np.empty(nnzb, np.int64)
+    slot_j = np.empty(nnzb, np.int64)
+    for s_ in range(nnzb):
+        slot_i[s_], slot_j[s_] = ij_of[s_]
+    br_ = np.arange(panel, dtype=np.int64)
+    fi_grid = slot_i[:, None, None] * panel + br_[None, :, None]
+    fj_grid = slot_j[:, None, None] * panel + br_[None, None, :]
+    fid = (fi_grid * NF + fj_grid).ravel()
+    if F:
+        pos = np.minimum(np.searchsorted(uniq, fid), F - 1)
+        inv_map = np.where(uniq[pos] == fid, pos, F)
+    else:
+        inv_map = np.full(fid.shape, F, np.int64)
+    # rhs: same construction over (bs,) vectors keyed by fine row
+    rdests_all = (
+        np.concatenate(rhs_dests) if rhs_dests else np.zeros(0, np.int64)
+    )
+    r_order = np.argsort(rdests_all, kind="stable")
+    sorted_r = rdests_all[r_order]
+    n_kept_r = int(np.searchsorted(sorted_r, NF))
+    uniq_r, starts_r = np.unique(sorted_r[:n_kept_r], return_index=True)
+    ends_r = np.concatenate([starts_r[1:], [n_kept_r]]).astype(np.int64) if len(uniq_r) else np.zeros(0, np.int64)
+    Fr = len(uniq_r)
+    rid = np.arange(n_panels * panel, dtype=np.int64)
+    if Fr:
+        posr = np.minimum(np.searchsorted(uniq_r, rid), Fr - 1)
+        rhs_inv_map = np.where(uniq_r[posr] == rid, posr, Fr)
+    else:
+        rhs_inv_map = np.full(rid.shape, Fr, np.int64)
+
     return BlockPlan(
         n=n_panels,
         bs=bs,
@@ -242,6 +337,15 @@ def build_block_plan(
         state_dim=total,
         panel_diag_slots=jnp.asarray(diag_slot, jnp.int32),
         panel_diag_reg=jnp.asarray(reg),
+        type_order=tuple(system.edge_type_names),
+        asm_perm=jnp.asarray(asm_order, jnp.int32),
+        asm_starts=jnp.asarray(starts, jnp.int32),
+        asm_ends=jnp.asarray(ends, jnp.int32),
+        asm_inv_map=jnp.asarray(inv_map, jnp.int32),
+        rhs_perm=jnp.asarray(r_order, jnp.int32),
+        rhs_starts=jnp.asarray(starts_r, jnp.int32),
+        rhs_ends=jnp.asarray(ends_r, jnp.int32),
+        rhs_inv_map=jnp.asarray(rhs_inv_map, jnp.int32),
     )
 
 
@@ -304,6 +408,95 @@ def assemble_blocks(graph: GraphArrays, bp: BlockPlan):
 
     # unit-regularize unused scalars in partial panels so the panel Cholesky
     # stays SPD (their dx components solve to 0 and are dropped)
+    dd = jnp.arange(P)
+    vals = vals.at[bp.panel_diag_slots[:, None], dd[None, :], dd[None, :]].add(
+        bp.panel_diag_reg
+    )
+    return vals, rhs, chi2
+
+
+def _edge_type_terms(graph: GraphArrays, bp: BlockPlan, name: str):
+    """Shared per-type computation: per-edge Hessian contribution blocks in
+    the canonical term order (diag a=0..arity-1, then pair k=0..), the RHS
+    contribution vectors (one per slot), and the chi2 contribution."""
+    ea = graph.edges[name]
+    et = get_edge_type(name)
+    rt = bp.routing[name]
+    vts = tuple(get_vertex_type(t) for t in et.vertex_types)
+    slot_states = tuple(
+        graph.states[et.vertex_types[s]][ea.local_idx[:, s]] for s in range(et.arity)
+    )
+    r, jacs = jax.vmap(lambda *a: _edge_residual_and_jacobians(et, vts, a[:-1], a[-1]))(
+        *slot_states, ea.meas
+    )
+    if et.robust_weight_fn is not None:
+        w = jax.vmap(et.robust_weight_fn)(r, ea.sigma_inv)
+        W = ea.sigma_inv * w[:, None, None]
+    else:
+        W = ea.sigma_inv
+    chi2 = jnp.sum(
+        jnp.where(ea.valid, jnp.einsum("ei,eij,ej->e", r, ea.sigma_inv, r), 0.0)
+    )
+    WJ = tuple(jnp.einsum("eij,ejk->eik", W, jacs[b]) for b in range(et.arity))
+    mask3 = ea.valid[:, None, None]
+    mask2 = ea.valid[:, None]
+    hblocks = []
+    gvecs = []
+    for a in range(et.arity):
+        hblocks.append(jnp.where(mask3, jnp.einsum("eij,eik->ejk", jacs[a], WJ[a]), 0.0))
+        gvecs.append(jnp.where(mask2, jnp.einsum("eij,ei->ej", WJ[a], r), 0.0))
+    for k, (a, b) in enumerate(rt.pairs):
+        Hab = jnp.einsum("eij,eik->ejk", jacs[a], WJ[b])
+        Hab = jnp.where(
+            rt.pair_transpose[:, k][:, None, None], jnp.swapaxes(Hab, 1, 2), Hab
+        )
+        hblocks.append(jnp.where(mask3, Hab, 0.0))
+    return hblocks, gvecs, chi2
+
+
+def assemble_blocks_sorted(graph: GraphArrays, bp: BlockPlan):
+    """Scatter-free lambda assembly: identical contract to
+    :func:`assemble_blocks` but conflicting contributions are reduced with
+    host-sorted prefix-sum segment differences and placed into the packed
+    panel array by a single gather.  On TPU this replaces the conflict-heavy
+    scatter-adds (which serialize per index) with cumsum + gathers — the
+    reduction-plan analog (CMatrixReductionPlan,
+    NonlinearSolver_Lambda_Base.h:524) in its TPU-native form."""
+    bs, P = bp.bs, bp.P
+    pn = P // bs
+    dtype = graph.states[next(iter(graph.states))].dtype
+    chi2 = jnp.zeros((), dtype)
+    hchunks = []
+    rchunks = []
+    for name in bp.type_order:
+        hb, gv, c2 = _edge_type_terms(graph, bp, name)
+        hchunks.extend(hb)
+        rchunks.extend(gv)
+        chi2 = chi2 + c2
+
+    G = jnp.concatenate(hchunks, 0)[bp.asm_perm]
+    cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), G.dtype), jnp.cumsum(G, 0)], 0)
+    fine = cum0[bp.asm_ends] - cum0[bp.asm_starts]  # (F, bs, bs)
+    finep = jnp.concatenate([fine, jnp.zeros((1, bs, bs), G.dtype)], 0)
+    vals = (
+        finep[bp.asm_inv_map]
+        .reshape(bp.nnzb, pn, pn, bs, bs)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(bp.nnzb, P, P)
+    )
+    vals = jnp.concatenate([vals, jnp.zeros((1, P, P), dtype)], 0)
+
+    Gr = jnp.concatenate(rchunks, 0)[bp.rhs_perm]
+    cum0r = jnp.concatenate([jnp.zeros((1, bs), Gr.dtype), jnp.cumsum(Gr, 0)], 0)
+    fine_r = cum0r[bp.rhs_ends] - cum0r[bp.rhs_starts]
+    fine_rp = jnp.concatenate([fine_r, jnp.zeros((1, bs), Gr.dtype)], 0)
+    rhs = fine_rp[bp.rhs_inv_map].reshape(bp.n, P)
+    rhs = jnp.concatenate([rhs, jnp.zeros((1, P), dtype)], 0)
+
+    if bp.anchor_diag_slot < bp.nnzb:
+        idx = bp.anchor_off + jnp.arange(bp.anchor_dim)
+        vals = vals.at[bp.anchor_diag_slot, idx, idx].add(bp.unary_information)
+
     dd = jnp.arange(P)
     vals = vals.at[bp.panel_diag_slots[:, None], dd[None, :], dd[None, :]].add(
         bp.panel_diag_reg

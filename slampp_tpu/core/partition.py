@@ -1,0 +1,140 @@
+"""Graph partitioning for the partitioned dense-core (v3) linear solver.
+
+Splits the fine block graph into K parts + one global separator such that no
+edge couples interiors of two different parts.  Part interiors are then
+eliminated as independent dense frames (batched on the MXU) and the separator
+solves as one dense Schur-complement core — the "Schur-eliminate everything
+sparse into a dense core" design SURVEY.md §7 sanctions for TPU, generalizing
+the reference's Schur solver (include/slam/LinearSolver_Schur.h:1424) from
+{cameras, landmarks} to {separator, part interiors}.
+
+Two strategies:
+
+* :func:`interval_partition` — contiguous index chunks of the (trajectory-
+  ordered) block sequence; the separator is chunk boundaries plus a greedy
+  vertex cover of the remaining crossing edges.  Ideal for SLAM trajectories
+  (odometry chains + sparse loop closures), deterministic and O(E).
+* fallback inside :func:`partition_graph`: if the interval separator exceeds
+  ``max_sep_frac`` the graph is not chain-like; callers should use the level-
+  scheduled (v2) engine instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Partition:
+    """Host-side partition description (fine block indices)."""
+
+    parts: List[np.ndarray]  # interior block ids per part
+    separator: np.ndarray  # separator block ids (sorted)
+    boundary: List[np.ndarray]  # per part: separator ids adjacent to interior
+    n: int
+
+    @property
+    def K(self) -> int:
+        return len(self.parts)
+
+    @property
+    def max_interior(self) -> int:
+        return max((len(p) for p in self.parts), default=0)
+
+    @property
+    def max_boundary(self) -> int:
+        return max((len(b) for b in self.boundary), default=0)
+
+
+def interval_partition(
+    n: int, pairs: Sequence[Tuple[int, int]], target: int = 64
+) -> Partition:
+    """Partition blocks 0..n-1 into contiguous chunks of ~``target`` and a
+    separator that covers every chunk-crossing edge.
+
+    Cover construction: a chunk's LAST block joins the separator (severing
+    the odometry chain), then remaining crossing edges (loop closures) are
+    covered greedily by the endpoint that covers the most uncovered crossers.
+    """
+    n_parts = max(1, (n + target - 1) // target)
+    bounds = np.linspace(0, n, n_parts + 1).astype(np.int64)
+    chunk_of = np.zeros(n, np.int64)
+    for k in range(n_parts):
+        chunk_of[bounds[k] : bounds[k + 1]] = k
+
+    sep = set()
+    # chain-severing: last element of each chunk except the final one
+    for k in range(n_parts - 1):
+        sep.add(int(bounds[k + 1] - 1))
+
+    crossing = [
+        (int(i), int(j))
+        for i, j in pairs
+        if chunk_of[int(i)] != chunk_of[int(j)]
+        and int(i) not in sep
+        and int(j) not in sep
+    ]
+    # greedy max-degree vertex cover of the remaining crossers
+    from collections import defaultdict
+
+    inc = defaultdict(list)
+    for idx, (i, j) in enumerate(crossing):
+        inc[i].append(idx)
+        inc[j].append(idx)
+    covered = np.zeros(len(crossing), bool)
+    order = sorted(inc, key=lambda v: -len(inc[v]))
+    for v in order:
+        if all(covered[e] for e in inc[v]):
+            continue
+        sep.add(v)
+        for e in inc[v]:
+            covered[e] = True
+
+    separator = np.array(sorted(sep), np.int64)
+    in_sep = np.zeros(n, bool)
+    in_sep[separator] = True
+
+    parts = []
+    for k in range(n_parts):
+        members = np.arange(bounds[k], bounds[k + 1])
+        parts.append(members[~in_sep[members]])
+    parts = [p for p in parts if len(p)]
+
+    # adjacency: per part, separator blocks touching its interior
+    part_of = np.full(n, -1, np.int64)
+    for k, p in enumerate(parts):
+        part_of[p] = k
+    bnd_sets: List[set] = [set() for _ in parts]
+    for i, j in pairs:
+        i, j = int(i), int(j)
+        if in_sep[i] and not in_sep[j] and part_of[j] >= 0:
+            bnd_sets[part_of[j]].add(i)
+        elif in_sep[j] and not in_sep[i] and part_of[i] >= 0:
+            bnd_sets[part_of[i]].add(j)
+        elif not in_sep[i] and not in_sep[j]:
+            assert part_of[i] == part_of[j], (
+                f"crossing interior edge ({i},{j}) — separator cover is broken"
+            )
+    boundary = [np.array(sorted(b), np.int64) for b in bnd_sets]
+    return Partition(parts=parts, separator=separator, boundary=boundary, n=n)
+
+
+def partition_graph(
+    n: int,
+    pairs: Sequence[Tuple[int, int]],
+    target: int = 64,
+    max_sep_frac: float = 0.45,
+) -> Partition:
+    """Interval partition with a quality gate: raises ValueError when the
+    separator exceeds ``max_sep_frac`` of the blocks (graph is not
+    chain-like; use the v2 level-scheduled engine instead)."""
+    part = interval_partition(n, pairs, target=target)
+    if n and len(part.separator) > max_sep_frac * n:
+        raise ValueError(
+            f"separator has {len(part.separator)}/{n} blocks; "
+            "graph is not chain-like — use engine='v2'"
+        )
+    return part

@@ -167,7 +167,7 @@ class NativeBlockSolver:
 
 
 def _native_gn_step_impl(graph: GraphArrays, bp, dp, mixed: bool, refine: int):
-    vals, rhs, chi2 = block_assembly.assemble_blocks(graph, bp)
+    vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(graph, bp)
     if mixed:
         x = sparse_chol.solve_refined(dp, vals[:-1], -rhs[:-1], refine_iters=refine)
     else:
@@ -182,7 +182,7 @@ def _native_gn_step_impl(graph: GraphArrays, bp, dp, mixed: bool, refine: int):
 def _native_gn_step_v2_impl(graph: GraphArrays, bp, plan2, mixed: bool, refine: int):
     from slampp_tpu.core import sparse_chol2
 
-    vals, rhs, chi2 = block_assembly.assemble_blocks(graph, bp)
+    vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(graph, bp)
     n, n_off = plan2.n, plan2.n_off
     Dvals = vals[:n]
     OffVals = vals[n : n + n_off]

@@ -1,0 +1,485 @@
+"""Partitioned dense-core linear solver (the v3 engine).
+
+The TPU-first inversion of sparse Cholesky: instead of a level-scheduled
+sparse factorization (deep sequential scan, core/sparse_chol2.py), partition
+the block graph into K parts + a separator (core/partition.py), then
+
+  1. assemble the fine block lambda scatter-free (core/block_assembly.py),
+  2. gather part frames A_k (K, M, M), couplings U_k (K, M, S), and the
+     dense separator system A_ss,
+  3. eliminate every part interior with ONE batched Pallas Cholesky + TRSM
+     (ops/dense_kernels.py) — all parts in parallel on the MXU,
+  4. form the separator Schur complement SC = A_ss - sum_k U_k^T A_k^-1 U_k
+     with a batched GEMM + sorted segment reduction,
+  5. factor SC with a single-instance Pallas Cholesky and back-substitute.
+
+Serial depth is ~3 kernel launches instead of ~100 scan levels.  Numerics:
+f32 frames with equilibration + pivot clamping, f64 iterative refinement on
+the fine blocks (same contract as the v2 engine's solve_refined2).
+
+Reference parity: this plays the role of the blockwise Cholesky solver
+(include/slam/LinearSolver_UberBlock.h:45) and generalizes the Schur solver
+(include/slam/LinearSolver_Schur.h:1424) from {cameras, landmarks} to
+{separator, part interiors}; the GPU offload of the SC product
+(src/slam/LinearSolver_Schur_GPU.cpp) is simply the default here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import block_assembly, partition as part_mod
+from slampp_tpu.core.assembly import apply_update
+from slampp_tpu.graph.system import GraphArrays, GraphSystem
+from slampp_tpu.graph.types import get_edge_type, get_vertex_type
+from slampp_tpu.ops import dense_kernels as dk
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class V3Plan(NamedTuple):
+    # statics
+    n: int  # fine blocks
+    bs: int
+    nnzb: int  # fine slots (n diag + n_off offd)
+    K: int
+    mB: int  # interior blocks per part (padded)
+    sB: int  # boundary blocks per part (padded)
+    SB: int  # total separator blocks
+    M: int  # part frame scalars (mult of 8)
+    S: int  # boundary scalars (sB*bs)
+    Ms: int  # separator frame scalars (mult of 8)
+    # device index arrays
+    rows: jnp.ndarray  # (nnzb,) permuted block row per slot
+    cols: jnp.ndarray  # (nnzb,)
+    a_idx: jnp.ndarray  # (K, mB, mB) -> Gv row
+    u_idx: jnp.ndarray  # (K, mB, sB) -> Gv row
+    ss_idx: jnp.ndarray  # (SB, SB) -> Gv row
+    gk_idx: jnp.ndarray  # (K, mB) -> rhs row (n = dummy)
+    gs_idx: jnp.ndarray  # (SB,)
+    a_pad_eye: jnp.ndarray  # (K, M) 1.0 where frame diagonal is padding
+    ss_pad_eye: jnp.ndarray  # (Ms,)
+    sc_perm: jnp.ndarray  # (K*sB*sB,) sort of SC block contributions
+    sc_starts: jnp.ndarray  # (F2,)
+    sc_ends: jnp.ndarray  # (F2,)
+    sc_inv_map: jnp.ndarray  # (SB*SB,) -> F2 = zero
+    scr_perm: jnp.ndarray  # (K*sB,) rhs contribution sort
+    scr_starts: jnp.ndarray  # (SB or fewer,)
+    scr_ends: jnp.ndarray
+    scr_inv_map: jnp.ndarray  # (SB,)
+    xs_idx: jnp.ndarray  # (K, sB) -> separator block rank (SB = dummy)
+    sol_gather: jnp.ndarray  # (n,) -> row in [x_int (K*mB) | xs (SB)]
+    # spmv (f64 refinement) plans
+    mv_perm: jnp.ndarray  # (nnzb + n_off,)
+    mv_starts: jnp.ndarray  # (n,)
+    mv_ends: jnp.ndarray  # (n,)
+
+
+class PartitionedSolver:
+    """Same interface as NativeBlockSolver, v3 engine."""
+
+    def __init__(
+        self,
+        system: GraphSystem,
+        target: int = 64,
+        mixed_precision: bool = True,
+        refine_iters: int = 1,
+        damping_rel: float = 1e-6,
+    ):
+        self.system = system
+        self.target = target
+        self.mixed_precision = mixed_precision
+        self.refine_iters = refine_iters
+        self.damping_rel = damping_rel
+        self._symbolic_key = None
+        self.block_plan = None
+        self.plan: V3Plan | None = None
+
+    # ------------------------------------------------------------------ host
+    def symbolic(self) -> None:
+        system = self.system
+        block_of_vid = {vid: b for b, vid in enumerate(system._vorder)}
+        n = len(block_of_vid)
+
+        pairs = set()
+        for tname in system.edge_type_names:
+            for vids in system._edges[tname]["vids"]:
+                bs_ = [block_of_vid.get(v, -1) for v in vids]
+                for x in range(len(bs_)):
+                    for y in range(x + 1, len(bs_)):
+                        if bs_[x] >= 0 and bs_[y] >= 0 and bs_[x] != bs_[y]:
+                            a, b = sorted((bs_[x], bs_[y]))
+                            pairs.add((b, a))
+        pairs = sorted(pairs)
+
+        part = part_mod.partition_graph(n, pairs, target=self.target)
+        # permuted order: part interiors (contiguous), then separator
+        order = np.concatenate([*(part.parts or [np.zeros(0, np.int64)]), part.separator]).astype(np.int64)
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        n_int = n - len(part.separator)
+
+        # permuted off-diagonal pairs -> fine slot table
+        ppairs = sorted({(max(int(inv[i]), int(inv[j])), min(int(inv[i]), int(inv[j]))) for i, j in pairs})
+        slot_of = {(j, j): j for j in range(n)}
+        rows_l, cols_l = [], []
+        for k, (i, j) in enumerate(ppairs):
+            slot_of[(i, j)] = n + k
+            rows_l.append(i)
+            cols_l.append(j)
+        n_off = len(ppairs)
+        nnzb = n + n_off
+
+        bp = block_assembly.build_block_plan(
+            system, slot_of, np.arange(n, dtype=np.int64), nnzb, inv,
+            block_of_vid, panel=1,
+        )
+        self.block_plan = bp
+        bs = bp.bs
+
+        K = part.K
+        mB = part.max_interior
+        sB = max(1, part.max_boundary)
+        SB = len(part.separator)
+        M = _pad_to(mB * bs, dk.PB)
+        S = sB * bs
+        Ms = _pad_to(max(SB, 1) * bs, dk.PB)
+
+        ZERO = 2 * nnzb  # Gv rows: [vals | vals^T | zero]
+
+        def look(i, j):
+            """Gv row for block H_{ij} in permuted coords."""
+            if i == j:
+                return i
+            if i > j:
+                s = slot_of.get((i, j))
+                return s if s is not None else ZERO
+            s = slot_of.get((j, i))
+            return (nnzb + s) if s is not None else ZERO
+
+        # part frames
+        p0 = np.zeros(K, np.int64)
+        off = 0
+        for k, p in enumerate(part.parts):
+            p0[k] = off
+            off += len(p)
+        assert off == n_int
+
+        a_idx = np.full((K, mB, mB), ZERO, np.int64)
+        u_idx = np.full((K, mB, sB), ZERO, np.int64)
+        gk_idx = np.full((K, mB), n, np.int64)
+        xs_idx = np.full((K, sB), SB, np.int64)
+        a_pad_eye = np.zeros((K, M))
+        sep_rank = {int(b): r for r, b in enumerate(part.separator)}
+        for k, p in enumerate(part.parts):
+            m = len(p)
+            for a in range(m):
+                ia = int(p0[k] + a)
+                gk_idx[k, a] = ia
+                for b in range(m):
+                    a_idx[k, a, b] = look(ia, int(p0[k] + b))
+            a_pad_eye[k, m * bs :] = 1.0
+            bnd = part.boundary[k]
+            for c, sb_orig in enumerate(bnd):
+                r = sep_rank[int(sb_orig)]
+                xs_idx[k, c] = r
+                j = n_int + r
+                for a in range(m):
+                    u_idx[k, a, c] = look(int(p0[k] + a), j)
+
+        ss_idx = np.full((SB, SB), ZERO, np.int64)
+        gs_idx = np.zeros(max(SB, 1), np.int64)
+        for r in range(SB):
+            gs_idx[r] = n_int + r
+            for c in range(SB):
+                ss_idx[r, c] = look(n_int + r, n_int + c)
+        ss_pad_eye = np.zeros(Ms)
+        ss_pad_eye[SB * bs :] = 1.0
+
+        # SC contribution reduction: term t = (k, c, d) -> dest (xs_idx[k,c], xs_idx[k,d])
+        kk, cc, dd = np.meshgrid(np.arange(K), np.arange(sB), np.arange(sB), indexing="ij")
+        dr = xs_idx[kk, cc]
+        dc = xs_idx[kk, dd]
+        dest = np.where((dr < SB) & (dc < SB), dr * max(SB, 1) + dc, SB * SB + 1).ravel()
+        sc_perm = np.argsort(dest, kind="stable")
+        sdest = dest[sc_perm]
+        kept = int(np.searchsorted(sdest, SB * SB + 1))
+        uniq, starts = np.unique(sdest[:kept], return_index=True)
+        ends = np.concatenate([starts[1:], [kept]]).astype(np.int64) if len(uniq) else np.zeros(0, np.int64)
+        F2 = len(uniq)
+        grid_ids = np.arange(max(SB, 1) * max(SB, 1), dtype=np.int64)
+        if F2:
+            posg = np.minimum(np.searchsorted(uniq, grid_ids), F2 - 1)
+            sc_inv_map = np.where(uniq[posg] == grid_ids, posg, F2)
+        else:
+            sc_inv_map = np.full(grid_ids.shape, F2, np.int64)
+
+        # SC rhs contributions: term (k, c) -> dest xs_idx[k, c]
+        destr = np.where(xs_idx < SB, xs_idx, SB + 1).ravel()
+        scr_perm = np.argsort(destr, kind="stable")
+        sdr = destr[scr_perm]
+        keptr = int(np.searchsorted(sdr, SB + 1))
+        uniq_r, starts_r = np.unique(sdr[:keptr], return_index=True)
+        ends_r = np.concatenate([starts_r[1:], [keptr]]).astype(np.int64) if len(uniq_r) else np.zeros(0, np.int64)
+        Fr = len(uniq_r)
+        rid = np.arange(max(SB, 1), dtype=np.int64)
+        if Fr:
+            posr = np.minimum(np.searchsorted(uniq_r, rid), Fr - 1)
+            scr_inv_map = np.where(uniq_r[posr] == rid, posr, Fr)
+        else:
+            scr_inv_map = np.full(rid.shape, Fr, np.int64)
+
+        # solution gather: permuted fine p -> row in [x_int (K*mB) | xs (SB)]
+        sol = np.zeros(n, np.int64)
+        for k, p in enumerate(part.parts):
+            for a in range(len(p)):
+                sol[p0[k] + a] = k * mB + a
+        for r in range(SB):
+            sol[n_int + r] = K * mB + r
+
+        # spmv plan: terms = [all slots -> dest rows] + [offd slots -> dest cols]
+        rows_arr = np.concatenate([np.arange(n), np.asarray(rows_l, np.int64)])
+        cols_arr = np.concatenate([np.arange(n), np.asarray(cols_l, np.int64)])
+        mv_dest = np.concatenate([rows_arr, cols_arr[n:]])
+        mv_perm = np.argsort(mv_dest, kind="stable")
+        smv = mv_dest[mv_perm]
+        uniq_m, starts_m = np.unique(smv, return_index=True)
+        assert len(uniq_m) == n  # every row has a diagonal term
+        ends_m = np.concatenate([starts_m[1:], [len(smv)]]).astype(np.int64)
+
+        dev = lambda a: jnp.asarray(a, jnp.int32)
+        self.plan = V3Plan(
+            n=n, bs=bs, nnzb=nnzb, K=K, mB=mB, sB=sB, SB=SB, M=M, S=S, Ms=Ms,
+            rows=dev(rows_arr), cols=dev(cols_arr),
+            a_idx=dev(a_idx), u_idx=dev(u_idx), ss_idx=dev(ss_idx),
+            gk_idx=dev(gk_idx), gs_idx=dev(gs_idx),
+            a_pad_eye=jnp.asarray(a_pad_eye, jnp.float32),
+            ss_pad_eye=jnp.asarray(ss_pad_eye, jnp.float32),
+            sc_perm=dev(sc_perm), sc_starts=dev(starts), sc_ends=dev(ends),
+            sc_inv_map=dev(sc_inv_map),
+            scr_perm=dev(scr_perm), scr_starts=dev(starts_r), scr_ends=dev(ends_r),
+            scr_inv_map=dev(scr_inv_map),
+            xs_idx=dev(xs_idx), sol_gather=dev(sol),
+            mv_perm=dev(mv_perm), mv_starts=dev(starts_m), mv_ends=dev(ends_m),
+        )
+        self._symbolic_key = (system.n_vertices, system.n_edges)
+
+    def ensure_symbolic(self):
+        key = (self.system.n_vertices, self.system.n_edges)
+        if self._symbolic_key != key:
+            self.symbolic()
+
+    # ---------------------------------------------------------------- device
+    def gn_step(self, graph: GraphArrays):
+        self.ensure_symbolic()
+        return _v3_gn_step(
+            graph, self.block_plan, self.plan, self.refine_iters, self.damping_rel
+        )
+
+    def optimize_fused(self, graph: GraphArrays, n_iters: int = 5):
+        self.ensure_symbolic()
+        return _v3_fused(
+            graph, self.block_plan, self.plan, n_iters, self.refine_iters,
+            self.damping_rel,
+        )
+
+
+# --------------------------------------------------------------------- device
+
+
+def _segsum(cum0, starts, ends):
+    return cum0[ends] - cum0[starts]
+
+
+def _frames(p: V3Plan, Gv, rhsf, dtype):
+    """Gather the part frames, couplings, separator system, and rhs frames
+    from the packed fine blocks Gv = [vals | vals^T | zero]."""
+    bs = p.bs
+    A = Gv[p.a_idx]  # (K, mB, mB, bs, bs)
+    A = A.transpose(0, 1, 3, 2, 4).reshape(p.K, p.mB * bs, p.mB * bs)
+    A = jnp.pad(A, ((0, 0), (0, p.M - p.mB * bs), (0, p.M - p.mB * bs)))
+    A = A + jax.vmap(jnp.diag)(p.a_pad_eye.astype(dtype))
+    U = Gv[p.u_idx]  # (K, mB, sB, bs, bs)
+    U = U.transpose(0, 1, 3, 2, 4).reshape(p.K, p.mB * bs, p.S)
+    U = jnp.pad(U, ((0, 0), (0, p.M - p.mB * bs), (0, 0)))
+    Ass = Gv[p.ss_idx].transpose(0, 2, 1, 3).reshape(p.SB * bs, p.SB * bs)
+    Ass = jnp.pad(Ass, ((0, p.Ms - p.SB * bs), (0, p.Ms - p.SB * bs)))
+    Ass = Ass + jnp.diag(p.ss_pad_eye.astype(dtype))
+    gk = rhsf[p.gk_idx].reshape(p.K, p.mB * bs)
+    gk = jnp.pad(gk, ((0, 0), (0, p.M - p.mB * bs)))
+    gs = rhsf[p.gs_idx].reshape(-1)[: p.SB * bs]
+    gs = jnp.pad(gs, (0, p.Ms - p.SB * bs))
+    return A, U, Ass, gk, gs
+
+
+def _factor32(p: V3Plan, vals32, rhs32):
+    """f32 factorization phase; returns everything the repeated solves need."""
+    bs = p.bs
+    valsT = jnp.swapaxes(vals32, 1, 2)
+    Gv = jnp.concatenate([vals32, valsT, jnp.zeros((1, bs, bs), vals32.dtype)], 0)
+    rhsf = jnp.concatenate([rhs32, jnp.zeros((1, bs), rhs32.dtype)], 0)
+    A, U, Ass, gk, gs = _frames(p, Gv, rhsf, vals32.dtype)
+
+    L = dk.chol_batched(A)  # (K, M, M) pallas
+    B = jnp.concatenate([U, gk[..., None]], -1)
+    B = jnp.pad(B, ((0, 0), (0, 0), (0, (-B.shape[-1]) % 8)))
+    W = dk.trsm_lower_batched(L, B)  # (K, M, S+pad)
+    WU = W[:, :, : p.S]
+    y = W[:, :, p.S]
+
+    # SC = Ass - sum_k place(WU^T WU)
+    C = jnp.einsum("kms,kmt->kst", WU, WU, preferred_element_type=jnp.float32)
+    Cb = C.reshape(p.K, p.sB, bs, p.sB, bs).transpose(0, 1, 3, 2, 4).reshape(-1, bs, bs)
+    Cb = Cb[p.sc_perm]
+    cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), Cb.dtype), jnp.cumsum(Cb, 0)], 0)
+    red = _segsum(cum0, p.sc_starts, p.sc_ends)
+    redp = jnp.concatenate([red, jnp.zeros((1, bs, bs), Cb.dtype)], 0)
+    SBp = max(p.SB, 1)
+    SCsub = redp[p.sc_inv_map].reshape(SBp, SBp, bs, bs).transpose(0, 2, 1, 3)
+    SCsub = SCsub.reshape(SBp * bs, SBp * bs)[: p.SB * bs, : p.SB * bs]
+    SC = Ass - jnp.pad(SCsub, ((0, p.Ms - p.SB * bs), (0, p.Ms - p.SB * bs)))
+    Ls = dk.chol_batched(SC[None])  # (1, Ms, Ms)
+
+    # rhs_s = gs - sum_k place(WU^T y)
+    v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=jnp.float32)
+    vb = v.reshape(p.K * p.sB, bs)[p.scr_perm]
+    cum0v = jnp.concatenate([jnp.zeros((1, bs), vb.dtype), jnp.cumsum(vb, 0)], 0)
+    redv = _segsum(cum0v, p.scr_starts, p.scr_ends)
+    redvp = jnp.concatenate([redv, jnp.zeros((1, bs), vb.dtype)], 0)
+    vsub = redvp[p.scr_inv_map].reshape(-1)[: p.SB * bs]
+    rhs_s = gs - jnp.pad(vsub, (0, p.Ms - p.SB * bs))
+    return L, WU, y, Ls, rhs_s
+
+
+def _solve_with(p: V3Plan, L, WU, Ls, gk_fine, gs_fine):
+    """Solve for a new fine rhs given the cached factorization.
+
+    gk_fine: (n+1, bs) scaled rhs in fine layout."""
+    bs = p.bs
+    gk = gk_fine[p.gk_idx].reshape(p.K, p.mB * bs)
+    gk = jnp.pad(gk, ((0, 0), (0, p.M - p.mB * bs)))
+    gs = gk_fine[p.gs_idx].reshape(-1)[: p.SB * bs]
+    gs = jnp.pad(gs, (0, p.Ms - p.SB * bs))
+
+    Bg = jnp.pad(gk[..., None], ((0, 0), (0, 0), (0, 7)))
+    y = dk.trsm_lower_batched(L, Bg)[:, :, 0]  # (K, M)
+
+    v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=jnp.float32)
+    vb = v.reshape(p.K * p.sB, bs)[p.scr_perm]
+    cum0v = jnp.concatenate([jnp.zeros((1, bs), vb.dtype), jnp.cumsum(vb, 0)], 0)
+    redv = _segsum(cum0v, p.scr_starts, p.scr_ends)
+    redvp = jnp.concatenate([redv, jnp.zeros((1, bs), vb.dtype)], 0)
+    vsub = redvp[p.scr_inv_map].reshape(-1)[: p.SB * bs]
+    rhs_s = gs - jnp.pad(vsub, (0, p.Ms - p.SB * bs))
+    return _backsolve(p, L, WU, Ls, y, rhs_s)
+
+
+def _backsolve(p: V3Plan, L, WU, Ls, y, rhs_s):
+    bs = p.bs
+    rs = jnp.pad(rhs_s[None, :, None], ((0, 0), (0, 0), (0, 7)))
+    zs = dk.trsm_lower_batched(Ls, rs)
+    xs = dk.trsm_lower_t_batched(Ls, zs)[0, :, 0]  # (Ms,)
+    xs_blocks = jnp.concatenate(
+        [xs[: p.SB * bs].reshape(max(p.SB, 1) if p.SB else 1, -1)[: p.SB], jnp.zeros((1, bs), xs.dtype)], 0
+    ) if p.SB else jnp.zeros((1, bs), xs.dtype)
+    xsb = xs_blocks[p.xs_idx].reshape(p.K, p.S)
+    t = y - jnp.einsum("kms,ks->km", WU, xsb, preferred_element_type=jnp.float32)
+    tb = jnp.pad(t[..., None], ((0, 0), (0, 0), (0, 7)))
+    xk = dk.trsm_lower_t_batched(L, tb)[:, :, 0]  # (K, M)
+
+    x_int = xk[:, : p.mB * bs].reshape(p.K * p.mB, bs)
+    xs_all = xs[: p.SB * bs].reshape(-1, bs) if p.SB else jnp.zeros((0, bs), xs.dtype)
+    x_rows = jnp.concatenate([x_int, xs_all], 0)
+    return x_rows[p.sol_gather]  # (n, bs) permuted fine solution
+
+
+def _spmv_fine(p: V3Plan, vals, x):
+    """y = A x on fine blocks (lower + diag stored); x: (n, bs)."""
+    n = p.n
+    t1 = jnp.einsum("sij,sj->si", vals[: p.nnzb], x[p.cols])
+    t2 = jnp.einsum("sji,sj->si", vals[n : p.nnzb], x[p.rows[n:]])
+    terms = jnp.concatenate([t1, t2], 0)[p.mv_perm]
+    cum0 = jnp.concatenate([jnp.zeros((1, p.bs), terms.dtype), jnp.cumsum(terms, 0)], 0)
+    return _segsum(cum0, p.mv_starts, p.mv_ends)
+
+
+def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float):
+    """Equilibrated f32 partitioned solve + f64 refinement.
+
+    vals64: (nnzb+1, bs, bs) fine lambda blocks; b64: (n+1, bs)."""
+    bs = p.bs
+    n = p.n
+    d = jnp.arange(bs)
+    diag_entries = vals64[:n, d, d]  # (n, bs)
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag_entries, 1e-30))
+    srow = s[p.rows]
+    scol = s[p.cols]
+    vs = vals64[: p.nnzb] * srow[:, :, None] * scol[:, None, :]
+    vs = vs.at[jnp.arange(n)[:, None, None], d[None, :, None], d[None, None, :]].add(
+        jnp.where(d[:, None] == d[None, :], damping_rel, 0.0)[None]
+    )
+    vals32 = vs.astype(jnp.float32)
+    b_s = (s * b64[:n]).astype(jnp.float32)
+    b32 = jnp.concatenate([b_s, jnp.zeros((1, bs), jnp.float32)], 0)
+
+    L, WU, y, Ls, rhs_s = _factor32(p, vals32, b32)
+    z = _backsolve(p, L, WU, Ls, y, rhs_s)
+    x = s * z.astype(jnp.float64)
+
+    for _ in range(refine):
+        r = b64[:n] - _spmv_fine(p, vals64, x)
+        rs = (s * r).astype(jnp.float32)
+        rs1 = jnp.concatenate([rs, jnp.zeros((1, bs), jnp.float32)], 0)
+        z = _solve_with(p, L, WU, Ls, rs1, None)
+        x = x + s * z.astype(jnp.float64)
+    return x
+
+
+def _v3_gn_step_impl(graph: GraphArrays, bp, p: V3Plan, refine: int, damping_rel: float):
+    vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(graph, bp)
+    x = _v3_solve_refined(p, vals, -rhs, refine, damping_rel)
+    dx = block_assembly.scatter_dx(bp, x, bp.bs)
+    dx_norm = jnp.linalg.norm(dx)
+    new_states = apply_update(graph, dx)
+    return new_states, dx_norm, chi2
+
+
+_step_cache: Dict = {}
+
+
+def _v3_gn_step(graph, bp, p, refine: int, damping_rel: float):
+    key = ("v3", id(bp), refine, damping_rel)
+    fn = _step_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda g: _v3_gn_step_impl(g, bp, p, refine, damping_rel))
+        _step_cache[key] = fn
+    return fn(graph)
+
+
+def _v3_fused(graph, bp, p, n_iters: int, refine: int, damping_rel: float):
+    key = ("v3fused", id(bp), n_iters, refine, damping_rel)
+    fn = _step_cache.get(key)
+    if fn is None:
+
+        def impl(g):
+            chi0 = None
+            dxn = None
+            for _ in range(n_iters):
+                states, dxn, chi2 = _v3_gn_step_impl(g, bp, p, refine, damping_rel)
+                if chi0 is None:
+                    chi0 = chi2
+                g = g.replace_states(states)
+            from slampp_tpu.core.assembly import graph_chi2
+
+            return g.states, dxn, chi0, graph_chi2(g)
+
+        fn = jax.jit(impl)
+        _step_cache[key] = fn
+    return fn(graph)

@@ -111,3 +111,33 @@ def test_v2_native_gn_matches_v1_on_manhattan():
     chi_mp = float(jax.jit(graph_chi2)(g))
     chi_ref = float(jax.jit(graph_chi2)(gref))
     assert abs(chi_mp - chi_ref) < 1e-6 * max(1.0, chi_ref)
+
+
+def test_sorted_assembly_matches_scatter():
+    """assemble_blocks_sorted == assemble_blocks (the reduction-plan oracle)
+    across panel sizes and engines."""
+    import tempfile, os
+    import jax, jax.numpy as jnp
+    from slampp_tpu.io.datasets import make_manhattan
+    from slampp_tpu.io.parser import parse_file, build_system
+    from slampp_tpu.linear.native import NativeBlockSolver
+    from slampp_tpu.core import block_assembly
+
+    for panel, engine in [(1, "v2"), (4, "v2"), (8, "v1")]:
+        text, _ = make_manhattan(n_poses=90, loop_prob=0.2, seed=3)
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            f.write(text)
+            path = f.name
+        system = build_system(parse_file(path))
+        os.unlink(path)
+        ns = NativeBlockSolver(system, panel=panel, engine=engine)
+        ns.symbolic()
+        g = system.snapshot()
+        bp = ns.block_plan
+        v1, r1, c1 = jax.jit(lambda g: block_assembly.assemble_blocks(g, bp))(g)
+        v2, r2, c2 = jax.jit(
+            lambda g: block_assembly.assemble_blocks_sorted(g, bp)
+        )(g)
+        assert float(jnp.abs(v1 - v2).max()) < 1e-8
+        assert float(jnp.abs(r1 - r2).max()) < 1e-8
+        assert float(jnp.abs(c1 - c2)) < 1e-8
