@@ -20,10 +20,25 @@ Set SLAMPP_NO_X64=1 to opt out (e.g. pure-f32 benchmarking).
 """
 
 import os as _os
+import sys as _sys
 
 if not _os.environ.get("SLAMPP_NO_X64"):
     import jax as _jax
 
     _jax.config.update("jax_enable_x64", True)
+
+# SLAMPP_PLATFORM=cpu forces the CPU backend even when a TPU plugin registers
+# itself programmatically (the axon sitecustomize overrides JAX_PLATFORMS, so
+# an env var alone cannot; this config update can).
+if _os.environ.get("SLAMPP_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SLAMPP_PLATFORM"])
+
+# Tracing a Pallas kernel nested inside a full jitted solver step exceeds
+# CPython's default 1000-frame recursion limit (jit -> solver -> pallas_call
+# trace stack); headroom here, like most large JAX programs.
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)
 
 __version__ = "0.1.0"

@@ -31,9 +31,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax import lax as _lax
+
 from slampp_tpu.core.assembly import _edge_residual_and_jacobians
 from slampp_tpu.graph.system import GraphArrays, GraphSystem
 from slampp_tpu.graph.types import get_edge_type, get_vertex_type
+
+
+_HI = _lax.Precision.HIGHEST
 
 
 @jax.tree_util.register_pytree_node_class
@@ -378,20 +383,20 @@ def assemble_blocks(graph: GraphArrays, bp: BlockPlan):
         chi2 = chi2 + jnp.sum(
             jnp.where(ea.valid, jnp.einsum("ei,eij,ej->e", r, ea.sigma_inv, r), 0.0)
         )
-        WJ = tuple(jnp.einsum("eij,ejk->eik", W, jacs[b]) for b in range(et.arity))
+        WJ = tuple(jnp.einsum("eij,ejk->eik", W, jacs[b], precision=_HI) for b in range(et.arity))
         mask3 = ea.valid[:, None, None]
         mask2 = ea.valid[:, None]
         for a in range(et.arity):
-            Haa = jnp.where(mask3, jnp.einsum("eij,eik->ejk", jacs[a], WJ[a]), 0.0)
+            Haa = jnp.where(mask3, jnp.einsum("eij,eik->ejk", jacs[a], WJ[a], precision=_HI), 0.0)
             rr = rt.diag_offs[:, a, None] + br[None, :]
             vals = vals.at[
                 rt.diag_slots[:, a, None, None], rr[:, :, None], rr[:, None, :]
             ].add(Haa)
-            ga = jnp.where(mask2, jnp.einsum("eij,ei->ej", WJ[a], r), 0.0)
+            ga = jnp.where(mask2, jnp.einsum("eij,ei->ej", WJ[a], r, precision=_HI), 0.0)
             ro = rt.rhs_offs[:, a, None] + br[None, :]
             rhs = rhs.at[rt.rhs_rows[:, a, None], ro].add(ga)
         for k, (a, b) in enumerate(rt.pairs):
-            Hab = jnp.einsum("eij,eik->ejk", jacs[a], WJ[b])
+            Hab = jnp.einsum("eij,eik->ejk", jacs[a], WJ[b], precision=_HI)
             Hab = jnp.where(
                 rt.pair_transpose[:, k][:, None, None], jnp.swapaxes(Hab, 1, 2), Hab
             )
@@ -415,10 +420,18 @@ def assemble_blocks(graph: GraphArrays, bp: BlockPlan):
     return vals, rhs, chi2
 
 
-def _edge_type_terms(graph: GraphArrays, bp: BlockPlan, name: str):
+def _edge_type_terms(graph: GraphArrays, bp: BlockPlan, name: str,
+                     hessian_f32: bool = False):
     """Shared per-type computation: per-edge Hessian contribution blocks in
     the canonical term order (diag a=0..arity-1, then pair k=0..), the RHS
-    contribution vectors (one per slot), and the chi2 contribution."""
+    contribution vectors (one per slot), and the chi2 contribution.
+
+    ``hessian_f32``: evaluate the Jacobians and Hessian blocks in f32 (the
+    TPU fast path — f64 elementwise math is emulated and ~4x slower) while
+    keeping the residual, RHS and chi2 in f64.  The Gauss-Newton FIXED POINT
+    is set by the f64 RHS (g = 0 at the optimum regardless of H precision),
+    so the converged chi2 is unchanged; only the transient step directions
+    carry f32 error, absorbed by the iteration itself."""
     ea = graph.edges[name]
     et = get_edge_type(name)
     rt = bp.routing[name]
@@ -437,16 +450,24 @@ def _edge_type_terms(graph: GraphArrays, bp: BlockPlan, name: str):
     chi2 = jnp.sum(
         jnp.where(ea.valid, jnp.einsum("ei,eij,ej->e", r, ea.sigma_inv, r), 0.0)
     )
-    WJ = tuple(jnp.einsum("eij,ejk->eik", W, jacs[b]) for b in range(et.arity))
+    if hessian_f32:
+        # f32 Jacobian evaluation (the heavy autodiff path), f64 residual
+        slot32 = tuple(s.astype(jnp.float32) for s in slot_states)
+        _, jacs = jax.vmap(
+            lambda *a: _edge_residual_and_jacobians(et, vts, a[:-1], a[-1])
+        )(*slot32, ea.meas.astype(jnp.float32))
+        W = W.astype(jnp.float32)
+    WJ = tuple(jnp.einsum("eij,ejk->eik", W, jacs[b], precision=_HI) for b in range(et.arity))
     mask3 = ea.valid[:, None, None]
     mask2 = ea.valid[:, None]
     hblocks = []
     gvecs = []
     for a in range(et.arity):
-        hblocks.append(jnp.where(mask3, jnp.einsum("eij,eik->ejk", jacs[a], WJ[a]), 0.0))
-        gvecs.append(jnp.where(mask2, jnp.einsum("eij,ei->ej", WJ[a], r), 0.0))
+        hblocks.append(jnp.where(mask3, jnp.einsum("eij,eik->ejk", jacs[a], WJ[a], precision=_HI), 0.0))
+        # RHS stays f64: f32 WJ x f64 r promotes to an f64 contraction
+        gvecs.append(jnp.where(mask2, jnp.einsum("eij,ei->ej", WJ[a], r, precision=_HI), 0.0))
     for k, (a, b) in enumerate(rt.pairs):
-        Hab = jnp.einsum("eij,eik->ejk", jacs[a], WJ[b])
+        Hab = jnp.einsum("eij,eik->ejk", jacs[a], WJ[b], precision=_HI)
         Hab = jnp.where(
             rt.pair_transpose[:, k][:, None, None], jnp.swapaxes(Hab, 1, 2), Hab
         )
@@ -454,14 +475,18 @@ def _edge_type_terms(graph: GraphArrays, bp: BlockPlan, name: str):
     return hblocks, gvecs, chi2
 
 
-def assemble_blocks_sorted(graph: GraphArrays, bp: BlockPlan):
+def assemble_blocks_sorted(graph: GraphArrays, bp: BlockPlan,
+                           hessian_f32: bool = False):
     """Scatter-free lambda assembly: identical contract to
     :func:`assemble_blocks` but conflicting contributions are reduced with
     host-sorted prefix-sum segment differences and placed into the packed
     panel array by a single gather.  On TPU this replaces the conflict-heavy
     scatter-adds (which serialize per index) with cumsum + gathers — the
     reduction-plan analog (CMatrixReductionPlan,
-    NonlinearSolver_Lambda_Base.h:524) in its TPU-native form."""
+    NonlinearSolver_Lambda_Base.h:524) in its TPU-native form.
+
+    With ``hessian_f32`` the packed blocks come back in f32 (fast TPU path,
+    see _edge_type_terms) while rhs and chi2 stay f64."""
     bs, P = bp.bs, bp.P
     pn = P // bs
     dtype = graph.states[next(iter(graph.states))].dtype
@@ -469,22 +494,23 @@ def assemble_blocks_sorted(graph: GraphArrays, bp: BlockPlan):
     hchunks = []
     rchunks = []
     for name in bp.type_order:
-        hb, gv, c2 = _edge_type_terms(graph, bp, name)
+        hb, gv, c2 = _edge_type_terms(graph, bp, name, hessian_f32)
         hchunks.extend(hb)
         rchunks.extend(gv)
         chi2 = chi2 + c2
 
     G = jnp.concatenate(hchunks, 0)[bp.asm_perm]
-    cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), G.dtype), jnp.cumsum(G, 0)], 0)
+    hdt = G.dtype
+    cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), hdt), jnp.cumsum(G, 0)], 0)
     fine = cum0[bp.asm_ends] - cum0[bp.asm_starts]  # (F, bs, bs)
-    finep = jnp.concatenate([fine, jnp.zeros((1, bs, bs), G.dtype)], 0)
+    finep = jnp.concatenate([fine, jnp.zeros((1, bs, bs), hdt)], 0)
     vals = (
         finep[bp.asm_inv_map]
         .reshape(bp.nnzb, pn, pn, bs, bs)
         .transpose(0, 1, 3, 2, 4)
         .reshape(bp.nnzb, P, P)
     )
-    vals = jnp.concatenate([vals, jnp.zeros((1, P, P), dtype)], 0)
+    vals = jnp.concatenate([vals, jnp.zeros((1, P, P), hdt)], 0)
 
     Gr = jnp.concatenate(rchunks, 0)[bp.rhs_perm]
     cum0r = jnp.concatenate([jnp.zeros((1, bs), Gr.dtype), jnp.cumsum(Gr, 0)], 0)
@@ -495,11 +521,13 @@ def assemble_blocks_sorted(graph: GraphArrays, bp: BlockPlan):
 
     if bp.anchor_diag_slot < bp.nnzb:
         idx = bp.anchor_off + jnp.arange(bp.anchor_dim)
-        vals = vals.at[bp.anchor_diag_slot, idx, idx].add(bp.unary_information)
+        vals = vals.at[bp.anchor_diag_slot, idx, idx].add(
+            jnp.asarray(bp.unary_information, hdt)
+        )
 
     dd = jnp.arange(P)
     vals = vals.at[bp.panel_diag_slots[:, None], dd[None, :], dd[None, :]].add(
-        bp.panel_diag_reg
+        bp.panel_diag_reg.astype(hdt)
     )
     return vals, rhs, chi2
 

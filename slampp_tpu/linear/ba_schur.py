@@ -52,20 +52,25 @@ class BASchurPlan(NamedTuple):
     cam_perm: jnp.ndarray  # (m,) int32: obs indices sorted by camera
     cam_starts: jnp.ndarray  # (n_c,)
     cam_ends: jnp.ndarray  # (n_c,)
-    # observation pairs sharing a landmark, sorted by (cam_i * n_c + cam_j)
-    pair_e: jnp.ndarray  # (M2,) int32 obs index (row side)
-    pair_f: jnp.ndarray  # (M2,) int32 obs index (col side)
-    pair_distinct_flat: jnp.ndarray  # (n_distinct,) flat (cam_i, cam_j) ids
-    pair_starts: jnp.ndarray  # (n_distinct,)
-    pair_ends: jnp.ndarray  # (n_distinct,)
+    # observation pairs sharing a landmark, sorted by (cam_i * n_c + cam_j).
+    # Unchunked mode: (M2,) flat lists + one global segment table.  Chunked
+    # mode (Venice scale — the (M2, 6, 6) pair products would not fit HBM):
+    # pairs are split at SC-block boundaries into rows of a (C, cap) layout
+    # scanned on device, each chunk scattering its sorted-unique SC blocks.
+    pair_e: jnp.ndarray  # (M2,) or (C, cap) int32 obs index (row side)
+    pair_f: jnp.ndarray  # (M2,) or (C, cap) int32 obs index (col side)
+    pair_distinct_flat: jnp.ndarray  # (n_distinct,) or (C, dmax) flat ids
+    pair_starts: jnp.ndarray  # (n_distinct,) or (C, dmax)
+    pair_ends: jnp.ndarray  # (n_distinct,) or (C, dmax)
     anchor_cam: int  # -1 when the gauge anchor is a landmark
     anchor_lm: int  # -1 when the gauge anchor is a camera
+    chunked: bool = False
 
 
 # Register as a pytree with the scalars static so plans pass as jit ARGUMENTS
 # (closure-captured plans embed megabytes of constants into the MLIR and blow
 # up compile time / crash the remote compiler).
-_BA_STATIC = ("n_c", "n_l", "n_obs", "anchor_cam", "anchor_lm")
+_BA_STATIC = ("n_c", "n_l", "n_obs", "anchor_cam", "anchor_lm", "chunked")
 _BA_FIELDS = BASchurPlan._fields
 
 
@@ -104,6 +109,37 @@ def build_ba_schur_plan(system) -> BASchurPlan:
         ol[e] = lm_pos[p]
         uv[e] = rec["meas"][e]
         info[e] = rec["sigma_inv"][e]
+
+    av = system._unary_anchor
+    if av in cam_pos:
+        anchor_cam, anchor_lm = cam_pos[av], -1
+    elif av in lm_pos:
+        anchor_cam, anchor_lm = -1, lm_pos[av]
+    else:
+        anchor_cam, anchor_lm = 0, -1
+
+    return build_ba_schur_plan_arrays(
+        n_c, n_l, oc, ol, uv, info, anchor_cam=anchor_cam, anchor_lm=anchor_lm
+    )
+
+
+def build_ba_schur_plan_arrays(
+    n_c: int,
+    n_l: int,
+    oc: np.ndarray,
+    ol: np.ndarray,
+    uv: np.ndarray,
+    info: np.ndarray,
+    anchor_cam: int = 0,
+    anchor_lm: int = -1,
+    pair_chunk: int = 2_000_000,
+) -> BASchurPlan:
+    """Vectorized host symbolic phase from raw observation arrays (the
+    Venice-scale entry point — no Python loop over observations or
+    landmarks).  When the landmark-sharing pair count exceeds ``pair_chunk``
+    the SC reduction is laid out in device-scanned chunks split at SC-block
+    boundaries, bounding peak HBM at ~chunk * 36 * 8 bytes."""
+    m = len(oc)
     order = np.argsort(ol, kind="stable")
     oc, ol, uv, info = oc[order], ol[order], uv[order], info[order]
 
@@ -115,31 +151,73 @@ def build_ba_schur_plan(system) -> BASchurPlan:
     cam_starts = np.searchsorted(oc_sorted, np.arange(n_c))
     cam_ends = np.searchsorted(oc_sorted, np.arange(n_c) + 1)
 
-    # observation pairs per landmark (all ordered pairs)
-    pe, pf = [], []
-    for l in range(n_l):
-        s, t = int(lm_starts[l]), int(lm_ends[l])
-        idx = np.arange(s, t)
-        if len(idx) == 0:
-            continue
-        E, F = np.meshgrid(idx, idx, indexing="ij")
-        pe.append(E.ravel())
-        pf.append(F.ravel())
-    pair_e = np.concatenate(pe) if pe else np.zeros(0, np.int64)
-    pair_f = np.concatenate(pf) if pf else np.zeros(0, np.int64)
+    # all ordered observation pairs sharing a landmark, vectorized:
+    # pair t belongs to landmark lm_of[t]; within its deg^2 block,
+    # (row, col) = divmod(t - block_start, deg)
+    deg = (lm_ends - lm_starts).astype(np.int64)
+    d2 = deg * deg
+    M2 = int(d2.sum())
+    block_start = np.cumsum(d2) - d2
+    t_idx = np.arange(M2, dtype=np.int64)
+    within = t_idx - np.repeat(block_start, d2)
+    deg_r = np.repeat(deg, d2)
+    base = np.repeat(lm_starts.astype(np.int64), d2)
+    pair_e = base + within // deg_r
+    pair_f = base + within % deg_r
     flat = oc[pair_e] * n_c + oc[pair_f]
     po = np.argsort(flat, kind="stable")
     pair_e, pair_f, flat = pair_e[po], pair_f[po], flat[po]
     distinct, starts = np.unique(flat, return_index=True)
     ends = np.concatenate([starts[1:], [len(flat)]])
 
-    av = system._unary_anchor
-    if av in cam_pos:
-        anchor_cam, anchor_lm = cam_pos[av], -1
-    elif av in lm_pos:
-        anchor_cam, anchor_lm = -1, lm_pos[av]
+    chunked = M2 > pair_chunk
+    if chunked:
+        # split the pair stream at SC-block boundaries into rows <= cap
+        cap = pair_chunk
+        cuts = [0]
+        g = 0
+        n_groups = len(distinct)
+        while g < n_groups:
+            limit = cuts[-1] + cap
+            # last group fully within [cuts[-1], limit)
+            h = int(np.searchsorted(ends, limit, side="right"))
+            if h <= g:  # single group larger than cap: take it alone
+                h = g + 1
+            cuts.append(int(ends[h - 1]))
+            g = h
+        C = len(cuts) - 1
+        caps = max(int(np.diff(cuts).max()), 1)
+        gcounts = []
+        ce = np.zeros((C, caps), np.int64)
+        cf = np.zeros((C, caps), np.int64)
+        for i in range(C):
+            a, b = cuts[i], cuts[i + 1]
+            ce[i, : b - a] = pair_e[a:b]
+            cf[i, : b - a] = pair_f[a:b]
+        # per-chunk groups
+        gidx = np.searchsorted(ends, np.array(cuts[1:]), side="right")
+        gstart = np.concatenate([[0], gidx[:-1]])
+        dmax = max(int((gidx - gstart).max()), 1)
+        cids = np.full((C, dmax), n_c * n_c, np.int64)
+        cst = np.zeros((C, dmax), np.int64)
+        cen = np.zeros((C, dmax), np.int64)
+        for i in range(C):
+            lo, hi = int(gstart[i]), int(gidx[i])
+            k = hi - lo
+            cids[i, :k] = distinct[lo:hi]
+            cst[i, :k] = starts[lo:hi] - cuts[i]
+            cen[i, :k] = ends[lo:hi] - cuts[i]
+        pair_e_dev = jnp.asarray(ce, jnp.int32)
+        pair_f_dev = jnp.asarray(cf, jnp.int32)
+        dist_dev = jnp.asarray(cids, jnp.int32)
+        st_dev = jnp.asarray(cst, jnp.int32)
+        en_dev = jnp.asarray(cen, jnp.int32)
     else:
-        anchor_cam, anchor_lm = 0, -1
+        pair_e_dev = jnp.asarray(pair_e, jnp.int32)
+        pair_f_dev = jnp.asarray(pair_f, jnp.int32)
+        dist_dev = jnp.asarray(distinct, jnp.int32)
+        st_dev = jnp.asarray(starts, jnp.int32)
+        en_dev = jnp.asarray(ends, jnp.int32)
 
     return BASchurPlan(
         n_c=n_c,
@@ -154,13 +232,14 @@ def build_ba_schur_plan(system) -> BASchurPlan:
         cam_perm=jnp.asarray(cam_perm, jnp.int32),
         cam_starts=jnp.asarray(cam_starts, jnp.int32),
         cam_ends=jnp.asarray(cam_ends, jnp.int32),
-        pair_e=jnp.asarray(pair_e, jnp.int32),
-        pair_f=jnp.asarray(pair_f, jnp.int32),
-        pair_distinct_flat=jnp.asarray(distinct, jnp.int32),
-        pair_starts=jnp.asarray(starts, jnp.int32),
-        pair_ends=jnp.asarray(ends, jnp.int32),
+        pair_e=pair_e_dev,
+        pair_f=pair_f_dev,
+        pair_distinct_flat=dist_dev,
+        pair_starts=st_dev,
+        pair_ends=en_dev,
         anchor_cam=int(anchor_cam),
         anchor_lm=int(anchor_lm),
+        chunked=bool(chunked),
     )
 
 
@@ -216,14 +295,39 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     BD = jnp.einsum("eij,ejk->eik", B, Dinv[plan.obs_lm], precision=HI)
 
     # SC pair mass: P_ef = BD_e @ B_f^T, reduced per distinct (cam_i, cam_j)
-    prod = jnp.einsum("eij,ekj->eik", BD[plan.pair_e], B[plan.pair_f], precision=HI)
-    pair_sums = _segsum(prod, plan.pair_starts, plan.pair_ends)  # (n_distinct,6,6)
+    if plan.chunked:
+        # Venice scale: scan over pair chunks (split at SC-block boundaries)
+        # so peak memory is one chunk's products, not all of them
+        SCf = jnp.zeros((n_c * n_c + 1, 6, 6), BD.dtype)
 
-    SC = jnp.zeros((n_c * n_c, 6, 6), pair_sums.dtype)
-    SC = SC.at[plan.pair_distinct_flat].set(
-        -pair_sums, indices_are_sorted=True, unique_indices=True
-    )
-    SC = SC.reshape(n_c, n_c, 6, 6)
+        def body(SCf, ch):
+            pe, pf, ids, st, en = ch
+            prod = jnp.einsum("eij,ekj->eik", BD[pe], B[pf], precision=HI)
+            cum0 = jnp.concatenate(
+                [jnp.zeros((1, 6, 6), prod.dtype), jnp.cumsum(prod, 0)], 0
+            )
+            red = cum0[en] - cum0[st]
+            return (
+                SCf.at[ids].add(-red, indices_are_sorted=True, unique_indices=True),
+                None,
+            )
+
+        SCf, _ = lax.scan(
+            body,
+            SCf,
+            (plan.pair_e, plan.pair_f, plan.pair_distinct_flat,
+             plan.pair_starts, plan.pair_ends),
+        )
+        SC = SCf[:-1].reshape(n_c, n_c, 6, 6)
+    else:
+        prod = jnp.einsum("eij,ekj->eik", BD[plan.pair_e], B[plan.pair_f], precision=HI)
+        pair_sums = _segsum(prod, plan.pair_starts, plan.pair_ends)  # (n_distinct,6,6)
+
+        SC = jnp.zeros((n_c * n_c, 6, 6), pair_sums.dtype)
+        SC = SC.at[plan.pair_distinct_flat].set(
+            -pair_sums, indices_are_sorted=True, unique_indices=True
+        )
+        SC = SC.reshape(n_c, n_c, 6, 6)
     diag_idx = jnp.arange(n_c)
     SC = SC.at[diag_idx, diag_idx].add(Hcc_diag + alpha * jnp.eye(6, dtype=SC.dtype))
     if plan.anchor_cam >= 0:
@@ -281,18 +385,43 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
 class BigBASolver:
     """LM over the observation-driven Schur step (the Venice-class solver)."""
 
-    def __init__(self, system, verbose: bool = False, tau: float = 1e-3):
+    def __init__(self, system, verbose: bool = False, tau: float = 1e-3,
+                 sc_f64: bool = True):
         self.system = system
         self.verbose = verbose
         self.tau = tau
+        self.sc_f64 = sc_f64
         self.plan = None
         self._step = None
+        self._cams = None
+        self._lms = None
+
+    @classmethod
+    def from_arrays(cls, cam_states, lm_states, obs_cam, obs_lm, uv, info,
+                    verbose: bool = False, tau: float = 1e-3,
+                    sc_f64: bool = False, pair_chunk: int = 2_000_000):
+        """Venice-scale constructor from raw observation arrays (no
+        GraphSystem / parser in the loop)."""
+        self = cls(system=None, verbose=verbose, tau=tau, sc_f64=sc_f64)
+        self.plan = build_ba_schur_plan_arrays(
+            len(cam_states), len(lm_states), obs_cam, obs_lm, uv, info,
+            pair_chunk=pair_chunk,
+        )
+        self._cams = jnp.asarray(cam_states)
+        self._lms = jnp.asarray(lm_states)
+        return self
+
+    def _make_step(self):
+        if self._step is None:
+            step = jax.jit(ba_schur_lm_step, static_argnames=("sc_f64",))
+            self._step = lambda c, l, a: step(self.plan, c, l, a, sc_f64=self.sc_f64)
 
     def _prepare(self):
         if self.plan is None:
             self.plan = build_ba_schur_plan(self.system)
-            step = jax.jit(ba_schur_lm_step, static_argnames=("sc_f64",))
-            self._step = lambda c, l, a: step(self.plan, c, l, a)
+        self._make_step()
+        if self.system is None:
+            return None, None, self._cams, self._lms
         cam_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "cam")
         lm_ids = sorted(v for v, (t, _) in self.system.vertex_index.items() if t == "xyz")
         cams = jnp.asarray(np.stack([self.system.vertex_state(v) for v in cam_ids]))
@@ -328,11 +457,13 @@ class BigBASolver:
                 if self.verbose:
                     print(f"BigBA iter {it}: rejected chi2={f_error:.2f} alpha={alpha:.2e}")
         # write back
-        cams_np, lms_np = np.asarray(cams), np.asarray(lms)
-        for i, v in enumerate(cam_ids):
-            self.system.set_vertex_state(v, cams_np[i])
-        for i, v in enumerate(lm_ids):
-            self.system.set_vertex_state(v, lms_np[i])
+        self._cams, self._lms = cams, lms
+        if self.system is not None:
+            cams_np, lms_np = np.asarray(cams), np.asarray(lms)
+            for i, v in enumerate(cam_ids):
+                self.system.set_vertex_state(v, cams_np[i])
+            for i, v in enumerate(lm_ids):
+                self.system.set_vertex_state(v, lms_np[i])
         return applied
 
     def chi2(self) -> float:

@@ -39,6 +39,8 @@ from slampp_tpu.graph.system import GraphArrays, GraphSystem
 from slampp_tpu.graph.types import get_edge_type, get_vertex_type
 from slampp_tpu.ops import dense_kernels as dk
 
+HI = jax.lax.Precision.HIGHEST
+
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -280,14 +282,15 @@ class PartitionedSolver:
     def gn_step(self, graph: GraphArrays):
         self.ensure_symbolic()
         return _v3_gn_step(
-            graph, self.block_plan, self.plan, self.refine_iters, self.damping_rel
+            graph, self.block_plan, self.plan, self.refine_iters, self.damping_rel,
+            self.mixed_precision,
         )
 
     def optimize_fused(self, graph: GraphArrays, n_iters: int = 5):
         self.ensure_symbolic()
         return _v3_fused(
             graph, self.block_plan, self.plan, n_iters, self.refine_iters,
-            self.damping_rel,
+            self.damping_rel, self.mixed_precision,
         )
 
 
@@ -335,7 +338,7 @@ def _factor32(p: V3Plan, vals32, rhs32):
     y = W[:, :, p.S]
 
     # SC = Ass - sum_k place(WU^T WU)
-    C = jnp.einsum("kms,kmt->kst", WU, WU, preferred_element_type=jnp.float32)
+    C = jnp.einsum("kms,kmt->kst", WU, WU, preferred_element_type=WU.dtype, precision=HI)
     Cb = C.reshape(p.K, p.sB, bs, p.sB, bs).transpose(0, 1, 3, 2, 4).reshape(-1, bs, bs)
     Cb = Cb[p.sc_perm]
     cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), Cb.dtype), jnp.cumsum(Cb, 0)], 0)
@@ -348,7 +351,7 @@ def _factor32(p: V3Plan, vals32, rhs32):
     Ls = dk.chol_batched(SC[None])  # (1, Ms, Ms)
 
     # rhs_s = gs - sum_k place(WU^T y)
-    v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=jnp.float32)
+    v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=WU.dtype, precision=HI)
     vb = v.reshape(p.K * p.sB, bs)[p.scr_perm]
     cum0v = jnp.concatenate([jnp.zeros((1, bs), vb.dtype), jnp.cumsum(vb, 0)], 0)
     redv = _segsum(cum0v, p.scr_starts, p.scr_ends)
@@ -371,7 +374,7 @@ def _solve_with(p: V3Plan, L, WU, Ls, gk_fine, gs_fine):
     Bg = jnp.pad(gk[..., None], ((0, 0), (0, 0), (0, 7)))
     y = dk.trsm_lower_batched(L, Bg)[:, :, 0]  # (K, M)
 
-    v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=jnp.float32)
+    v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=WU.dtype, precision=HI)
     vb = v.reshape(p.K * p.sB, bs)[p.scr_perm]
     cum0v = jnp.concatenate([jnp.zeros((1, bs), vb.dtype), jnp.cumsum(vb, 0)], 0)
     redv = _segsum(cum0v, p.scr_starts, p.scr_ends)
@@ -390,7 +393,7 @@ def _backsolve(p: V3Plan, L, WU, Ls, y, rhs_s):
         [xs[: p.SB * bs].reshape(max(p.SB, 1) if p.SB else 1, -1)[: p.SB], jnp.zeros((1, bs), xs.dtype)], 0
     ) if p.SB else jnp.zeros((1, bs), xs.dtype)
     xsb = xs_blocks[p.xs_idx].reshape(p.K, p.S)
-    t = y - jnp.einsum("kms,ks->km", WU, xsb, preferred_element_type=jnp.float32)
+    t = y - jnp.einsum("kms,ks->km", WU, xsb, preferred_element_type=WU.dtype, precision=HI)
     tb = jnp.pad(t[..., None], ((0, 0), (0, 0), (0, 7)))
     xk = dk.trsm_lower_t_batched(L, tb)[:, :, 0]  # (K, M)
 
@@ -403,19 +406,28 @@ def _backsolve(p: V3Plan, L, WU, Ls, y, rhs_s):
 def _spmv_fine(p: V3Plan, vals, x):
     """y = A x on fine blocks (lower + diag stored); x: (n, bs)."""
     n = p.n
-    t1 = jnp.einsum("sij,sj->si", vals[: p.nnzb], x[p.cols])
-    t2 = jnp.einsum("sji,sj->si", vals[n : p.nnzb], x[p.rows[n:]])
+    t1 = jnp.einsum("sij,sj->si", vals[: p.nnzb], x[p.cols], precision=HI)
+    t2 = jnp.einsum("sji,sj->si", vals[n : p.nnzb], x[p.rows[n:]], precision=HI)
     terms = jnp.concatenate([t1, t2], 0)[p.mv_perm]
     cum0 = jnp.concatenate([jnp.zeros((1, p.bs), terms.dtype), jnp.cumsum(terms, 0)], 0)
     return _segsum(cum0, p.mv_starts, p.mv_ends)
 
 
-def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float):
-    """Equilibrated f32 partitioned solve + f64 refinement.
+def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
+                      mixed: bool = True):
+    """Partitioned solve: equilibrated f32 + f64 refinement (``mixed``) or
+    exact f64 end-to-end (``mixed=False`` — matches the dense oracle to
+    ~1e-8 including the near-singular gauge mode, which the f32 path leaves
+    inexact; that mode is invisible to chi2/ATE, see tests/test_partitioned).
 
     vals64: (nnzb+1, bs, bs) fine lambda blocks; b64: (n+1, bs)."""
     bs = p.bs
     n = p.n
+    if not mixed:
+        vals_f = vals64[: p.nnzb]
+        b_f = jnp.concatenate([b64[:n], jnp.zeros((1, bs), b64.dtype)], 0)
+        L, WU, y, Ls, rhs_s = _factor32(p, vals_f, b_f)
+        return _backsolve(p, L, WU, Ls, y, rhs_s)
     d = jnp.arange(bs)
     diag_entries = vals64[:n, d, d]  # (n, bs)
     s = 1.0 / jnp.sqrt(jnp.maximum(diag_entries, 1e-30))
@@ -442,9 +454,15 @@ def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float):
     return x
 
 
-def _v3_gn_step_impl(graph: GraphArrays, bp, p: V3Plan, refine: int, damping_rel: float):
-    vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(graph, bp)
-    x = _v3_solve_refined(p, vals, -rhs, refine, damping_rel)
+def _v3_gn_step_impl(graph: GraphArrays, bp, p: V3Plan, refine: int,
+                     damping_rel: float, mixed: bool = True):
+    # mixed mode assembles the Hessian blocks directly in f32 (4x faster on
+    # TPU where f64 is emulated); rhs/chi2 stay f64 so the GN fixed point is
+    # unchanged.  _v3_solve_refined handles f32 inputs transparently.
+    vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(
+        graph, bp, hessian_f32=mixed
+    )
+    x = _v3_solve_refined(p, vals, -rhs, refine, damping_rel, mixed)
     dx = block_assembly.scatter_dx(bp, x, bp.bs)
     dx_norm = jnp.linalg.norm(dx)
     new_states = apply_update(graph, dx)
@@ -454,17 +472,18 @@ def _v3_gn_step_impl(graph: GraphArrays, bp, p: V3Plan, refine: int, damping_rel
 _step_cache: Dict = {}
 
 
-def _v3_gn_step(graph, bp, p, refine: int, damping_rel: float):
-    key = ("v3", id(bp), refine, damping_rel)
+def _v3_gn_step(graph, bp, p, refine: int, damping_rel: float, mixed: bool = True):
+    key = ("v3", id(bp), refine, damping_rel, mixed)
     fn = _step_cache.get(key)
     if fn is None:
-        fn = jax.jit(lambda g: _v3_gn_step_impl(g, bp, p, refine, damping_rel))
+        fn = jax.jit(lambda g: _v3_gn_step_impl(g, bp, p, refine, damping_rel, mixed))
         _step_cache[key] = fn
     return fn(graph)
 
 
-def _v3_fused(graph, bp, p, n_iters: int, refine: int, damping_rel: float):
-    key = ("v3fused", id(bp), n_iters, refine, damping_rel)
+def _v3_fused(graph, bp, p, n_iters: int, refine: int, damping_rel: float,
+              mixed: bool = True):
+    key = ("v3fused", id(bp), n_iters, refine, damping_rel, mixed)
     fn = _step_cache.get(key)
     if fn is None:
 
@@ -472,7 +491,7 @@ def _v3_fused(graph, bp, p, n_iters: int, refine: int, damping_rel: float):
             chi0 = None
             dxn = None
             for _ in range(n_iters):
-                states, dxn, chi2 = _v3_gn_step_impl(g, bp, p, refine, damping_rel)
+                states, dxn, chi2 = _v3_gn_step_impl(g, bp, p, refine, damping_rel, mixed)
                 if chi0 is None:
                     chi0 = chi2
                 g = g.replace_states(states)

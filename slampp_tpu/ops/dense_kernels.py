@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,8 +35,17 @@ PB = 8  # panel width (columns factored per loop step)
 _F32 = jnp.float32
 
 
+import os as _os
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels on TPU for f32 (default); SLAMPP_PALLAS=0 selects the
+    XLA panel-loop reference path instead (A/B and debugging)."""
+    return _on_tpu() and _os.environ.get("SLAMPP_PALLAS", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -44,14 +54,21 @@ def _on_tpu() -> bool:
 
 
 def _chol_value(A, clamp: float):
-    """Unrolled lower Cholesky of a (PB, PB) array value, pivot-clamped."""
+    """Unrolled lower Cholesky of a (PB, PB) array value with FROZEN failed
+    pivots: a pivot that falls below ``clamp`` is replaced by a huge value,
+    so its column's multipliers go to ~0 and the corresponding variable's
+    update is ~0 (instead of being amplified by 1/sqrt(clamp), which cascades
+    to inf/NaN on near-singular f32 systems).  The f64 refinement loop around
+    the caller absorbs the frozen component."""
     n = A.shape[-1]
+    BIG = jnp.asarray(1e20, A.dtype)  # dtype-pinned (a python float would
+    # promote the pivot to f64 under x64 — unlowerable inside a TPU kernel)
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         d = A[j, j]
         for k in range(j):
             d = d - L[j][k] * L[j][k]
-        d = jnp.maximum(d, clamp)
+        d = jnp.where(d > clamp, d, BIG)
         Ljj = jnp.sqrt(d)
         L[j][j] = Ljj
         inv = 1.0 / Ljj
@@ -106,64 +123,93 @@ def _bwd_sub_value(L, B):
 # ---------------------------------------------------------------------------
 
 
+# Mosaic restricts dynamic slicing on the tiled (sublane, lane) dims: lane
+# starts must be provably 128-aligned, which an 8-wide column panel at j*8 is
+# not.  So the kernels never slice dynamically — the active column panel is
+# EXTRACTED and WRITTEN BACK through one-hot selection matrices (built from
+# iota compares, which tolerate dynamic bounds) driven through the MXU.
+# Extra FLOPs: ~4 extra M x M x 8 products per panel, same order as the
+# trailing update itself — all MXU traffic while the matrix stays in VMEM.
+
+
+def _sel(j0, M: int):
+    """(M, PB) one-hot selection: column k picks row j0 + k."""
+    r = lax.broadcasted_iota(jnp.int32, (M, PB), 0)
+    c = lax.broadcasted_iota(jnp.int32, (M, PB), 1)
+    return (r == j0 + c).astype(_F32)
+
+
 def _chol_kernel(a_ref, o_ref, *, M: int, clamp: float):
-    o_ref[:] = a_ref[:]
     nb = M // PB
     rows = lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, M), 1)
 
-    def panel(j, _):
+    def panel(j, A):
         j0 = j * PB
-        D = o_ref[0, pl.ds(j0, PB), pl.ds(j0, PB)]
+        E = _sel(j0, M)
+        C = jnp.dot(A, E, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)  # (M, PB) column panel
+        D = jnp.dot(E.T, C, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)  # (PB, PB) diag block
         Ljj = _chol_value(D, clamp)
-        C = o_ref[0, :, pl.ds(j0, PB)]
         W = _trsm_right_T_value(C, Ljj)
-        below = rows >= j0 + PB
-        W = jnp.where(below, W, 0.0)
-        o_ref[0, :, pl.ds(j0, PB)] = W
-        o_ref[0, pl.ds(j0, PB), pl.ds(j0, PB)] = Ljj
-        o_ref[0] = o_ref[0] - jnp.dot(W, W.T, preferred_element_type=_F32)
-        return 0
+        W = jnp.where(rows >= j0 + PB, W, 0.0)
+        # new panel content: W below diag, Ljj on the diag rows, 0 above
+        P = W + jnp.dot(E, Ljj, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
+        colmask = ((cols >= j0) & (cols < j0 + PB)).astype(_F32)
+        return (
+            A * (1.0 - colmask)
+            + jnp.dot(P, E.T, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
+            - jnp.dot(W, W.T, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
+        )
 
-    lax.fori_loop(0, nb, panel, 0)
-    o_ref[0] = jnp.tril(o_ref[0])
+    A = lax.fori_loop(jnp.int32(0), jnp.int32(nb), panel, a_ref[0])
+    # explicit i32 tril mask (jnp.tril builds i64 iotas under x64, which
+    # Mosaic cannot lower)
+    o_ref[0] = jnp.where(rows >= cols, A, 0.0)
 
 
 def _trsm_fwd_kernel(l_ref, b_ref, o_ref, *, M: int):
-    o_ref[:] = b_ref[:]
     nb = M // PB
     rows = lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    L = l_ref[0]
 
-    def panel(j, _):
+    def panel(j, X):
         j0 = j * PB
-        Ljj = l_ref[0, pl.ds(j0, PB), pl.ds(j0, PB)]
-        Bj = o_ref[0, pl.ds(j0, PB), :]
-        Xj = _fwd_sub_value(Ljj, Bj)
-        o_ref[0, pl.ds(j0, PB), :] = Xj
-        Lcol = l_ref[0, :, pl.ds(j0, PB)]
+        E = _sel(j0, M)
+        Lcol = jnp.dot(L, E, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)  # (M, PB)
+        Dj = jnp.dot(E.T, Lcol, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)  # (PB, PB)
+        Bj = jnp.dot(E.T, X, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)  # (PB, S)
+        Xj = _fwd_sub_value(Dj, Bj)
         Lm = jnp.where(rows >= j0 + PB, Lcol, 0.0)
-        o_ref[0] = o_ref[0] - jnp.dot(Lm, Xj, preferred_element_type=_F32)
-        return 0
+        return (
+            X
+            + jnp.dot(E, Xj - Bj, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
+            - jnp.dot(Lm, Xj, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
+        )
 
-    lax.fori_loop(0, nb, panel, 0)
+    o_ref[0] = lax.fori_loop(jnp.int32(0), jnp.int32(nb), panel, b_ref[0])
 
 
 def _trsm_bwd_kernel(l_ref, b_ref, o_ref, *, M: int):
-    o_ref[:] = b_ref[:]
     nb = M // PB
     rows = lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    L = l_ref[0]
 
-    def panel(jr, _):
+    def panel(jr, X):
         j = nb - 1 - jr
         j0 = j * PB
-        Lcol = l_ref[0, :, pl.ds(j0, PB)]
+        E = _sel(j0, M)
+        Lcol = jnp.dot(L, E, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
+        Dj = jnp.dot(E.T, Lcol, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)
         Lm = jnp.where(rows >= j0 + PB, Lcol, 0.0)
-        contrib = jnp.dot(Lm.T, o_ref[0], preferred_element_type=_F32)
-        Ljj = l_ref[0, pl.ds(j0, PB), pl.ds(j0, PB)]
-        Bj = o_ref[0, pl.ds(j0, PB), :] - contrib
-        o_ref[0, pl.ds(j0, PB), :] = _bwd_sub_value(Ljj, Bj)
-        return 0
+        contrib = jnp.dot(Lm.T, X, preferred_element_type=_F32, precision=lax.Precision.HIGHEST)  # (PB, S)
+        Bj = jnp.dot(E.T, X, preferred_element_type=_F32, precision=lax.Precision.HIGHEST) - contrib
+        Xj = _bwd_sub_value(Dj, Bj)
+        return X + jnp.dot(
+            E, Xj - jnp.dot(E.T, X, preferred_element_type=_F32, precision=lax.Precision.HIGHEST),
+            preferred_element_type=_F32, precision=lax.Precision.HIGHEST,
+        )
 
-    lax.fori_loop(0, nb, panel, 0)
+    o_ref[0] = lax.fori_loop(jnp.int32(0), jnp.int32(nb), panel, b_ref[0])
 
 
 def _batched_call(kernel, K: int, M: int, S: int | None, *args):
@@ -171,14 +217,17 @@ def _batched_call(kernel, K: int, M: int, S: int | None, *args):
     (and one (M, S) panel when S is not None)."""
     shapes = [(1, M, M)] if S is None else [(1, M, M), (1, M, S)]
     out_shape = shapes[-1]
+    # index-map constants must be i32 (python 0 becomes a weak i64 under
+    # x64, which Mosaic cannot return from the index-map region); k*0 keeps
+    # the zeros i32 without capturing tracers
     return pl.pallas_call(
         kernel,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec(s, lambda k: (k, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(s, lambda k: (k, k * 0, k * 0), memory_space=pltpu.VMEM)
             for s in shapes
         ],
-        out_specs=pl.BlockSpec(out_shape, lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(out_shape, lambda k: (k, k * 0, k * 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K,) + out_shape[1:], _F32),
     )(*args)
 
@@ -189,10 +238,13 @@ def _batched_call(kernel, K: int, M: int, S: int | None, *args):
 
 
 def chol_batched(A: jnp.ndarray, clamp: float = 1e-8) -> jnp.ndarray:
-    """Batched lower Cholesky of (K, M, M) f32 SPD matrices (pivot-clamped).
-    M must be a multiple of PB (pad with identity)."""
+    """Batched lower Cholesky of (K, M, M) SPD matrices (pivot-clamped).
+    M must be a multiple of PB (pad with identity).  f32 on TPU takes the
+    Pallas kernel; f64 (and any CPU run) takes the numerically identical
+    lax panel loop (TPU f64 is XLA-emulated — the exact path used by the
+    ``mixed_precision=False`` solvers)."""
     K, M, _ = A.shape
-    if _on_tpu():
+    if _use_pallas() and A.dtype == jnp.float32:
         return _batched_call(
             functools.partial(_chol_kernel, M=M, clamp=clamp), K, M, None, A
         )
@@ -203,7 +255,7 @@ def trsm_lower_batched(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Batched X = L^-1 B; L (K, M, M) lower from chol_batched, B (K, M, S)."""
     K, M, _ = L.shape
     S = B.shape[-1]
-    if _on_tpu():
+    if _use_pallas() and L.dtype == jnp.float32:
         return _batched_call(functools.partial(_trsm_fwd_kernel, M=M), K, M, S, L, B)
     return jax.vmap(lambda l, b: lax.linalg.triangular_solve(
         l, b, left_side=True, lower=True, transpose_a=False
@@ -214,7 +266,7 @@ def trsm_lower_t_batched(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Batched X = L^-T B; same layout as trsm_lower_batched."""
     K, M, _ = L.shape
     S = B.shape[-1]
-    if _on_tpu():
+    if _use_pallas() and L.dtype == jnp.float32:
         return _batched_call(functools.partial(_trsm_bwd_kernel, M=M), K, M, S, L, B)
     return jax.vmap(lambda l, b: lax.linalg.triangular_solve(
         l, b, left_side=True, lower=True, transpose_a=True

@@ -1,0 +1,149 @@
+"""Tests for the partitioned dense-core (v3) linear solver.
+
+Correctness contract (VERDICT round 1 item 2):
+  * exact mode (``mixed_precision=False``, f64 end-to-end): the GN step dx
+    matches the dense oracle to 1e-8 across partition targets and graph
+    sizes — including the near-singular gauge mode;
+  * mixed mode (equilibrated f32 frames + f64 refinement): the RELATIVE
+    RESIDUAL of the solved normal equations is small and the chi2 descent
+    trajectory tracks the f64 path.  (The raw dx may differ along the gauge
+    mode — cond(H) ~ 3e8 on anchored pose graphs — which chi2/ATE cannot
+    see; the reference resolves it only because it is f64 throughout,
+    LinearSolver_UberBlock.h:45.)
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import assembly
+from slampp_tpu.io.datasets import make_manhattan
+from slampp_tpu.io.parser import build_system, parse_file
+from slampp_tpu.linear.partitioned import PartitionedSolver, _spmv_fine
+
+
+def _system(n_poses=200, seed=0, loop_prob=0.1):
+    text, _ = make_manhattan(n_poses=n_poses, loop_prob=loop_prob, seed=seed)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        return build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+
+def _dense_step(graph):
+    H, g, chi2 = assembly.assemble_dense(graph)
+    dx = jnp.linalg.solve(H, -g)
+    return np.asarray(H), np.asarray(g), np.asarray(dx), float(chi2)
+
+
+@pytest.mark.parametrize("n_poses,target", [(120, 16), (200, 32), (200, 64)])
+def test_v3_exact_matches_dense_oracle(n_poses, target):
+    system = _system(n_poses=n_poses)
+    graph = system.snapshot()
+    H, g, dx_ref, _ = _dense_step(graph)
+
+    ps = PartitionedSolver(system, target=target, mixed_precision=False)
+    new_states, dx_norm, chi2 = ps.gn_step(graph)
+    # recover dx by comparing against the dense step's updated states
+    ref_states = assembly.apply_update(graph, jnp.asarray(dx_ref))
+    for t, s in new_states.items():
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(ref_states[t]), rtol=0, atol=1e-8
+        )
+    assert abs(float(dx_norm) - np.linalg.norm(dx_ref)) < 1e-8 * (
+        1.0 + np.linalg.norm(dx_ref)
+    )
+
+
+def test_v3_mixed_residual_small():
+    """Mixed-precision step: relative residual of H dx = -g is tiny (the
+    gauge-mode component of the error is invisible to the residual because
+    H annihilates it — exactly why it is also invisible to chi2)."""
+    system = _system(n_poses=200)
+    graph = system.snapshot()
+    H, g, dx_ref, _ = _dense_step(graph)
+
+    ps = PartitionedSolver(system, target=32, mixed_precision=True, refine_iters=2)
+    ps.symbolic()
+    from slampp_tpu.core import block_assembly
+    from slampp_tpu.linear.partitioned import _v3_solve_refined
+
+    vals, rhs, _ = jax.jit(
+        lambda gr: block_assembly.assemble_blocks_sorted(gr, ps.block_plan)
+    )(graph)
+    x = np.asarray(_v3_solve_refined(ps.plan, vals, -rhs, 2, 1e-6, True))
+    dx = np.asarray(block_assembly.scatter_dx(ps.block_plan, jnp.asarray(x), ps.block_plan.bs))
+    resid = H @ dx + g
+    assert np.linalg.norm(resid) / np.linalg.norm(g) < 1e-5
+
+
+def test_v3_mixed_chi2_trajectory_tracks_f64():
+    system = _system(n_poses=200)
+
+    def run(mixed):
+        graph = system.snapshot()
+        ps = PartitionedSolver(system, target=32, mixed_precision=mixed, refine_iters=2)
+        chis = []
+        for _ in range(5):
+            states, dxn, chi2 = ps.gn_step(graph)
+            chis.append(float(chi2))
+            graph = graph.replace_states(states)
+        chis.append(float(jax.jit(assembly.graph_chi2)(graph)))
+        return np.array(chis)
+
+    c64 = run(False)
+    c32 = run(True)
+    # identical starting chi2, identical CONVERGED chi2 (the transient first
+    # iterate may differ along the gauge mode, which washes out by iter 2)
+    assert c32[0] == c64[0]
+    np.testing.assert_allclose(c32[2:], c64[2:], rtol=1e-5)
+    assert c32[-1] <= c32[0]
+
+
+def test_v3_spmv_matches_dense():
+    system = _system(n_poses=150)
+    graph = system.snapshot()
+    ps = PartitionedSolver(system, target=32)
+    ps.symbolic()
+    from slampp_tpu.core import block_assembly
+
+    p, bp = ps.plan, ps.block_plan
+    vals, rhs, _ = jax.jit(
+        lambda gr: block_assembly.assemble_blocks_sorted(gr, bp)
+    )(graph)
+    vals = np.asarray(vals)
+    n, bs = p.n, p.bs
+    rows, cols = np.asarray(p.rows), np.asarray(p.cols)
+    H = np.zeros((n * bs, n * bs))
+    for s_ in range(p.nnzb):
+        i, j = rows[s_], cols[s_]
+        H[i * bs : (i + 1) * bs, j * bs : (j + 1) * bs] += vals[s_]
+        if i != j:
+            H[j * bs : (j + 1) * bs, i * bs : (i + 1) * bs] += vals[s_].T
+    xt = np.random.RandomState(0).randn(n, bs)
+    y = np.asarray(_spmv_fine(p, jnp.asarray(vals), jnp.asarray(xt)))
+    np.testing.assert_allclose(
+        y.reshape(-1), H @ xt.reshape(-1), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_v3_fused_matches_stepwise():
+    system = _system(n_poses=150)
+    graph = system.snapshot()
+    ps = PartitionedSolver(system, target=32, mixed_precision=False)
+    g = graph
+    for _ in range(3):
+        states, dxn, chi2 = ps.gn_step(g)
+        g = g.replace_states(states)
+    chi_step = float(jax.jit(assembly.graph_chi2)(g))
+
+    _, _, chi0, chi_fused = ps.optimize_fused(graph, n_iters=3)
+    assert abs(float(chi_fused) - chi_step) < 1e-6 * (1 + chi_step)
