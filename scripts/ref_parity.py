@@ -77,7 +77,9 @@ def main():
               "build it with scripts/build_reference.sh", file=sys.stderr)
         return 2
 
-    from slampp_tpu.io.datasets import make_manhattan, make_sphere, make_ba_scene
+    from slampp_tpu.io.datasets import (
+        make_ba_scene, make_manhattan, make_rocv, make_spheron, make_sphere,
+    )
 
     cases = []
 
@@ -101,6 +103,10 @@ def main():
     add("ba_8cam_150pts", t, ["-us"], ["-us"])
     t, _ = make_ba_scene(n_cams=16, n_points=400, seed=1)
     add("ba_16cam_400pts", t, ["-us"], ["-us"])
+    t, _ = make_spheron(n_poses=8, n_points=40, seed=0)
+    add("spheron_8pose_40pts", t, [], [])
+    t, _ = make_rocv(n_steps=30, seed=0)
+    add("rocv_30steps", t, [], [])
     # incremental mode parity (every-vertex nonlinear solve)
     t, _ = make_manhattan(n_poses=200, loop_prob=0.1, seed=3)
     add("manhattan200_incr_nsp1", t, ["-po", "-nsp", "1"], ["-po", "-nsp", "1"])

@@ -110,13 +110,28 @@ def main(argv=None):
         from slampp_tpu.graph.system import GraphSystem
 
         system = GraphSystem()
-        inc = IncrementalSolver(
-            system,
-            solve_period=args.nonlinear_solve_period,
-            max_iterations=args.max_nonlinear_solve_iters,
-            min_dx_norm=args.nonlinear_solve_error_thresh,
-            verbose=args.verbose,
-        )
+        if solver_kind in ("L", "fastL"):
+            # windowed incremental engine: cached frozen-chunk Schur
+            # complements + bounded live solves (FastL economics, see
+            # solvers/incremental_windowed.py)
+            from slampp_tpu.solvers.incremental_windowed import (
+                WindowedIncrementalSolver,
+            )
+
+            inc = WindowedIncrementalSolver(
+                system,
+                solve_period=args.nonlinear_solve_period,
+                max_iterations=args.max_nonlinear_solve_iters,
+                verbose=args.verbose,
+            )
+        else:
+            inc = IncrementalSolver(
+                system,
+                solve_period=args.nonlinear_solve_period,
+                max_iterations=args.max_nonlinear_solve_iters,
+                min_dx_norm=args.nonlinear_solve_error_thresh,
+                verbose=args.verbose,
+            )
         build_system(
             records,
             problem=problem,
@@ -131,6 +146,12 @@ def main(argv=None):
             solver = LevenbergMarquardtSolver(system, use_schur=use_schur, verbose=args.verbose)
         elif solver_kind == "lambda-dl":
             solver = DoglegSolver(system, verbose=args.verbose)
+        elif solver_kind == "A":
+            # the A (Jacobian) solver — normal equations from the exported A
+            # (reference CNonlinearSolver_A, NonlinearSolver_A.h:314)
+            from slampp_tpu.solvers.a_solver import ASolver
+
+            solver = ASolver(system, verbose=args.verbose)
         else:
             solver = GaussNewtonSolver(system, use_schur=use_schur, verbose=args.verbose)
         n_steps = 0

@@ -43,6 +43,12 @@ class VertexType:
     # LinearSolver_Schur.h:725).
     is_landmark: bool = False
     _state_dim: Optional[int] = None
+    # boxminus: local_diff(cur_state, ref_state) -> delta (dim,) such that
+    # retract(ref, delta) ~= cur.  Default (None): componentwise difference
+    # of the first ``dim`` state entries (valid for vector spaces; manifold
+    # types with wrapped/rotation components should register their own —
+    # used by the windowed incremental solver's frozen-chunk refresh).
+    local_diff: Optional[Callable] = None
 
     @property
     def state_dim(self) -> int:

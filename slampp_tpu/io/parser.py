@@ -169,6 +169,46 @@ def parse_tokens(token: str, f: List[float]) -> Optional[ParsedRecord]:
         return ParsedRecord(
             "edge_p2sc", (int(f[0]), int(f[1])), np.array(f[2:5]), _upper_tri(f[5:11], 3)
         )
+    if token == "VERTEX_SPHERON:QUAT":
+        # id x y z qx qy qz qw -> position + axis-angle (ParsePrimitives.h:1065)
+        q = np.array([f[7], f[4], f[5], f[6]])
+        q = q / np.linalg.norm(q)
+        aa = _np_quat_to_aa(q)
+        return ParsedRecord(
+            "vertex_spheron", (int(f[0]),), np.concatenate([np.array(f[1:4]), aa])
+        )
+    if token == "EDGE_SPHERON_XYZ":
+        # pose_id lm_id mx my mz info6 (ParsePrimitives.h:696)
+        return ParsedRecord(
+            "edge_spheron_xyz", (int(f[0]), int(f[1])), np.array(f[2:5]),
+            _upper_tri(f[5:11], 3),
+        )
+    if token in ("ROCV:RECEIVER", "ROCV:RECEIVER_GT", "ROCV:RECEIVER_GTFAKE"):
+        # id x y z vx vy vz (ParsePrimitives.h:1495-1569)
+        return ParsedRecord("vertex_posvel", (int(f[0]),), np.array(f[1:7]))
+    if token == "ROCV:TRANSMITTER":
+        # landmark3d-typed (the rocv edges couple posvel3d <-> landmark3d)
+        return ParsedRecord("vertex_rocv_lm", (int(f[0]),), np.array(f[1:4]))
+    if token == "ROCV:TRANSMITTER_UF":
+        # id info6 (3x3 upper tri) — absolute position unary factor
+        # (TUnaryFactor3D, ParsePrimitives.h:1443)
+        return ParsedRecord(
+            "rocv_transmitter_uf", (int(f[0]),), np.zeros(0), _upper_tri(f[1:7], 3)
+        )
+    if token == "ROCV:DELTA_TIME":
+        # prev cur dt info21 (6x6 upper tri) (ParsePrimitives.h:1604)
+        return ParsedRecord(
+            "edge_rocv_dt", (int(f[0]), int(f[1])), np.array(f[2:3]),
+            _upper_tri(f[3:24], 6),
+        )
+    if token == "ROCV:RANGE":
+        # posvel_id lm_id range info1 (ParsePrimitives.h:1680+)
+        return ParsedRecord(
+            "edge_rocv_range", (int(f[0]), int(f[1])), np.array(f[2:3]),
+            np.array([[f[3]]]),
+        )
+    if token == "PHASE":
+        return ParsedRecord("phase", (), np.zeros(0))
     if token == "EQUIV":
         return ParsedRecord("equiv", (int(f[0]), int(f[1])), np.zeros(0))
     return None
@@ -192,7 +232,12 @@ def parse_file(path: str, max_lines: Optional[int] = None) -> List[ParsedRecord]
             try:
                 fields = [float(x) for x in parts[1:]]
             except ValueError:
-                continue  # unknown token with non-numeric payload
+                # non-numeric payload: hard error like the reference traits
+                # "fail" entries (SE2_Types.h:629) — silent data loss is worse
+                raise ValueError(
+                    f"{path}:{lineno + 1}: unknown token {token!r} "
+                    "(non-numeric payload)"
+                ) from None
             try:
                 rec = parse_tokens(token, fields)
             except IndexError:
@@ -212,6 +257,10 @@ def detect_problem(records: Iterable[ParsedRecord]) -> str:
     which peek-parses the first 1000 lines.
     """
     kinds = {r.kind for r in records}
+    if kinds & {"edge_spheron_xyz", "vertex_spheron"}:
+        return "spheron"
+    if kinds & {"edge_rocv_range", "edge_rocv_dt", "vertex_posvel"}:
+        return "rocv"
     if kinds & {"edge_p2sc"}:
         return "ba_stereo"
     if kinds & {"edge_p2ci", "vertex_intrinsics"}:
@@ -244,6 +293,7 @@ def build_system(
     """
     from slampp_tpu.graph.system import GraphSystem
     from slampp_tpu.models import ba as m_ba
+    from slampp_tpu.models import rocv as m_rocv
     from slampp_tpu.models import se2 as m_se2
     from slampp_tpu.models import se3 as m_se3
 
@@ -282,6 +332,24 @@ def build_system(
             continue
         if k == "equiv":
             continue  # data-association hint (compact-pose apps)
+        if k == "phase":
+            continue  # ROCV phase delimiter (bookkeeping only)
+        if k == "vertex_spheron":
+            system.add_vertex("spheron", rec.ids[0], rec.values)
+            continue
+        if k == "vertex_posvel":
+            system.add_vertex("posvel3d", rec.ids[0], rec.values)
+            continue
+        if k == "vertex_rocv_lm":
+            system.add_vertex("landmark3d", rec.ids[0], rec.values)
+            continue
+        if k == "rocv_transmitter_uf":
+            # absolute position prior at the landmark's parse-time state
+            z = system.vertex_state(rec.ids[0])[:3]
+            system.add_edge("edge_landmark3d_prior", rec.ids, z, rec.info)
+            if on_edge is not None:
+                on_edge(system, system.n_edges)
+            continue
         if k == "edge2":
             system.add_edge(
                 "edge_pose2d", rec.ids, rec.values, rec.info, m_se2.POSE_POSE_INITIALIZERS
@@ -320,6 +388,21 @@ def build_system(
             system.add_edge("edge_p2ci", rec.ids, rec.values, rec.info)
         elif k == "edge_p2sc":
             system.add_edge("edge_p2sc", rec.ids, rec.values, rec.info)
+        elif k == "edge_spheron_xyz":
+            system.add_edge(
+                "edge_spheron_xyz", rec.ids, rec.values, rec.info,
+                m_rocv.SPHERON_XYZ_INITIALIZERS,
+            )
+        elif k == "edge_rocv_dt":
+            system.add_edge(
+                "edge_rocv_const_vel", rec.ids, rec.values, rec.info,
+                m_rocv.ROCV_CONST_VEL_INITIALIZERS,
+            )
+        elif k == "edge_rocv_range":
+            system.add_edge(
+                "edge_rocv_range", rec.ids, rec.values, rec.info,
+                m_rocv.ROCV_RANGE_INITIALIZERS,
+            )
         else:
             raise ValueError(f"unhandled record kind {k!r}")
         if on_edge is not None:

@@ -33,6 +33,7 @@ from jax import lax
 
 from slampp_tpu.geometry import camera as cam_geo
 from slampp_tpu.geometry import se3
+from slampp_tpu.ops.small_blocks import inverse_spd_small
 
 HI = lax.Precision.HIGHEST
 
@@ -253,6 +254,34 @@ def _p2c_residual_jacs(point, cam_state, uv):
     return r, Jp, Jc
 
 
+def _jacs_chunked(points, cam_states, uvs, chunk: int = 131072):
+    """Per-observation residuals + Jacobians, evaluated in chunks: the
+    vmapped jacfwd over ALL observations materializes O(m * tangents * dim)
+    intermediates (~18 GB at Venice scale); a lax.map over fixed chunks
+    bounds that at chunk-size while producing the same stacked outputs."""
+    m = points.shape[0]
+    if m <= chunk:
+        return jax.vmap(_p2c_residual_jacs)(points, cam_states, uvs)
+    C = (m + chunk - 1) // chunk
+    pad = C * chunk - m
+    pp = jnp.pad(points, ((0, pad), (0, 0)))
+    cp = jnp.pad(cam_states, ((0, pad), (0, 0)))
+    up = jnp.pad(uvs, ((0, pad), (0, 0)))
+    # keep padded rows numerically benign (z=1 projections)
+    cp = cp.at[m:, 6:8].set(1.0) if pad else cp
+    pp = pp.at[m:, 2].set(1.0) if pad else pp
+    r, Jp, Jc = lax.map(
+        lambda args: jax.vmap(_p2c_residual_jacs)(*args),
+        (pp.reshape(C, chunk, 3), cp.reshape(C, chunk, cp.shape[-1]),
+         up.reshape(C, chunk, 2)),
+    )
+    return (
+        r.reshape(C * chunk, 2)[:m],
+        Jp.reshape(C * chunk, 2, 3)[:m],
+        Jc.reshape(C * chunk, 2, 6)[:m],
+    )
+
+
 def _segsum(data, starts, ends):
     """Sorted segment sums via exclusive prefix sums."""
     cum0 = jnp.concatenate([jnp.zeros((1,) + data.shape[1:], data.dtype), jnp.cumsum(data, 0)], 0)
@@ -268,7 +297,7 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     False uses the equilibrated f32 + refinement path.
     """
     n_c = plan.n_c
-    r, Jp, Jc = jax.vmap(_p2c_residual_jacs)(
+    r, Jp, Jc = _jacs_chunked(
         lm_states[plan.obs_lm], cam_states[plan.obs_cam], plan.obs_uv
     )
     W = plan.obs_info
@@ -282,7 +311,8 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     D = D + alpha * jnp.eye(3, dtype=D.dtype)
     if plan.anchor_lm >= 0:
         D = D.at[plan.anchor_lm].add(jnp.eye(3, dtype=D.dtype))
-    Dinv = jnp.linalg.inv(D)
+    # unrolled batched SPD inverse — TPU's LuDecomposition has no f64 path
+    Dinv = inverse_spd_small(D)
 
     # camera block-diagonal + rhs (via the camera-sorted permutation)
     Hcc_e = jnp.einsum("eij,eik->ejk", Jc, WJc, precision=HI)

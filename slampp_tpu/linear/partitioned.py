@@ -293,6 +293,93 @@ class PartitionedSolver:
             self.damping_rel, self.mixed_precision,
         )
 
+    def damped_step(self, graph: GraphArrays, alpha: float):
+        """One LM-damped step (lambda + alpha I) through the partitioned
+        engine — the sparse route for LevenbergMarquardtSolver/DoglegSolver
+        (reference ApplyDamping, NonlinearSolver_Lambda_LM.h:235-243).
+        Returns (new_states, denom, dx_norm, chi2)."""
+        self.ensure_symbolic()
+        key = ("v3damped", id(self.block_plan), self.refine_iters,
+               self.damping_rel, self.mixed_precision)
+        fn = _step_cache.get(key)
+        if fn is None:
+            bp, p = self.block_plan, self.plan
+            refine, dr, mixed = self.refine_iters, self.damping_rel, self.mixed_precision
+
+            def impl(g, a):
+                vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(
+                    g, bp, hessian_f32=mixed
+                )
+                d = jnp.arange(bp.bs)
+                vals = vals.at[: p.n, d, d].add(a.astype(vals.dtype))
+                x = _v3_solve_refined(p, vals, -rhs, refine, dr, mixed)
+                dx = block_assembly.scatter_dx(bp, x, bp.bs)
+                new_states = apply_update(g, dx)
+                # rho denominator dx.(alpha dx - g) with g in global layout
+                gvec = block_assembly.scatter_dx(bp, rhs[: p.n], bp.bs)
+                denom = jnp.dot(dx, a * dx - gvec)
+                return new_states, denom, jnp.linalg.norm(dx), chi2
+
+            fn = jax.jit(impl)
+            _step_cache[key] = fn
+        return fn(graph, jnp.asarray(alpha, jnp.float64))
+
+    def dogleg_step(self, graph: GraphArrays, delta: float,
+                    relin_threshold: float = 0.0):
+        """One Powell-dogleg step through the partitioned engine (sparse
+        route for DoglegSolver — reference CNonlinearSolver_Lambda_DL batch
+        semantics).  Returns (new_states, pred_reduction, dx_norm, chi2)."""
+        self.ensure_symbolic()
+        key = ("v3dogleg", id(self.block_plan), self.refine_iters,
+               self.damping_rel, self.mixed_precision)
+        fn = _step_cache.get(key)
+        if fn is None:
+            bp, p = self.block_plan, self.plan
+            refine, dr, mixed = self.refine_iters, self.damping_rel, self.mixed_precision
+
+            def impl(g, delta, thr):
+                from slampp_tpu.core.assembly import apply_update_gated
+
+                vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(
+                    g, bp, hessian_f32=mixed
+                )
+                grad = rhs[: p.n]  # permuted fine-layout gradient (n, bs)
+                x_gn = _v3_solve_refined(p, vals, -rhs, refine, dr, mixed)
+                Hg = _spmv_fine(p, vals, grad)
+                gTg = jnp.sum(grad * grad)
+                gHg = jnp.sum(grad * Hg)
+                a = gTg / jnp.maximum(gHg, 1e-300)
+                x_sd = -a * grad
+                n_gn = jnp.sqrt(jnp.sum(x_gn * x_gn))
+                n_sd = jnp.sqrt(jnp.sum(x_sd * x_sd))
+
+                d_ = x_gn - x_sd
+                aa = jnp.sum(d_ * d_)
+                bb = 2.0 * jnp.sum(x_sd * d_)
+                cc = jnp.sum(x_sd * x_sd) - delta * delta
+                disc = jnp.sqrt(jnp.maximum(bb * bb - 4 * aa * cc, 0.0))
+                t = jnp.clip((-bb + disc) / jnp.maximum(2 * aa, 1e-300), 0.0, 1.0)
+                blend = x_sd + t * d_
+                x = jnp.where(
+                    n_gn <= delta,
+                    x_gn,
+                    jnp.where(
+                        n_sd >= delta,
+                        x_sd * (delta / jnp.maximum(n_sd, 1e-300)),
+                        blend,
+                    ),
+                )
+                Hx = _spmv_fine(p, vals, x)
+                pred = -(jnp.sum(grad * x) + 0.5 * jnp.sum(x * Hx))
+                dx = block_assembly.scatter_dx(bp, x, bp.bs)
+                new_states = apply_update_gated(g, dx, thr)
+                return new_states, pred, jnp.sqrt(jnp.sum(x * x)), chi2
+
+            fn = jax.jit(impl)
+            _step_cache[key] = fn
+        return fn(graph, jnp.asarray(delta, jnp.float64),
+                  jnp.asarray(relin_threshold, jnp.float64))
+
 
 # --------------------------------------------------------------------- device
 

@@ -98,3 +98,29 @@ EDGE_SPHERON_XYZ = register_edge_type(
         error_fn=_spheron_xyz_error,
     )
 )
+
+
+# --- parse-time vertex auto-initializers (reference CInitialize* policies) ---
+import numpy as np
+
+
+def init_posvel_from_prev(known, meas):
+    """Receiver initialized from the previous pos-vel state propagated by dt
+    (constant-velocity motion model)."""
+    prev = np.asarray(known.get(0, np.zeros(6)))
+    dt = float(np.asarray(meas).reshape(-1)[0])
+    return np.concatenate([prev[0:3] + prev[3:6] * dt, prev[3:6]])
+
+
+def init_landmark_null(known, meas):
+    return np.zeros(3)
+
+
+ROCV_CONST_VEL_INITIALIZERS = (None, init_posvel_from_prev)
+ROCV_RANGE_INITIALIZERS = (None, init_landmark_null)
+
+# spheron landmark init = pose (+) (meas translation, identity rotation),
+# reference CRelative_to_Absolute_XYZ_Initializer (BA_Types.h:1010-1037)
+from slampp_tpu.models.se3 import init_landmark3d as _init_lm3d  # noqa: E402
+
+SPHERON_XYZ_INITIALIZERS = (None, _init_lm3d)

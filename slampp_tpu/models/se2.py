@@ -18,8 +18,13 @@ from slampp_tpu.graph.types import (
     register_vertex_type,
 )
 
+def _pose2d_local_diff(cur, ref):
+    d = cur - ref
+    return d.at[2].set(se2.clamp_angular_error_2pi(d[2]))
+
+
 POSE2D = register_vertex_type(
-    VertexType(name="pose2d", dim=3, retract=se2.plus)
+    VertexType(name="pose2d", dim=3, retract=se2.plus, local_diff=_pose2d_local_diff)
 )
 
 LANDMARK2D = register_vertex_type(

@@ -12,7 +12,13 @@ from slampp_tpu.graph.types import (
     register_vertex_type,
 )
 
-POSE3D = register_vertex_type(VertexType(name="pose3d", dim=6, retract=se3.plus))
+POSE3D = register_vertex_type(
+    VertexType(
+        name="pose3d", dim=6, retract=se3.plus,
+        # boxminus inverse of plus: plus(ref, absolute_to_relative(ref, cur)) == cur
+        local_diff=lambda cur, ref: se3.absolute_to_relative(ref, cur),
+    )
+)
 
 LANDMARK3D = register_vertex_type(
     VertexType(name="landmark3d", dim=3, retract=lambda x, d: x + d, is_landmark=True)

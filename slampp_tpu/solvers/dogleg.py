@@ -72,14 +72,29 @@ class DoglegSolver:
         pad: bool = False,
         initial_radius: float = 2.0,
         relin_threshold: float = 0.0,  # reference default in DL: 1e-5
+        engine: str = "dense",
     ):
+        """``engine``: "dense" assembles the full Hessian; "v3" runs the
+        step through the partitioned block-sparse engine (uniform block
+        size) without materializing H."""
         self.system = system
         self.verbose = verbose
         self.pad = pad
         self.radius = initial_radius
         self.relin_threshold = relin_threshold
+        self.engine = engine
+        self._v3 = None
         self.timer = PhaseTimer()
         self.n_iterations = 0
+
+    def _v3_solver(self):
+        if self._v3 is None:
+            from slampp_tpu.linear.partitioned import PartitionedSolver
+
+            with self.timer.phase("v3_symbolic"):
+                self._v3 = PartitionedSolver(self.system, refine_iters=2)
+                self._v3.symbolic()
+        return self._v3
 
     def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
         if self.system.n_edges == 0:
@@ -90,9 +105,14 @@ class DoglegSolver:
         for it in range(max_iterations):
             self.n_iterations += 1
             with self.timer.phase("dogleg_step"):
-                new_states, dx, pred, dx_norm, _ = _dogleg_step(
-                    graph, self.radius, self.relin_threshold
-                )
+                if self.engine == "v3":
+                    new_states, pred, dx_norm, _ = self._v3_solver().dogleg_step(
+                        graph, self.radius, self.relin_threshold
+                    )
+                else:
+                    new_states, dx, pred, dx_norm, _ = _dogleg_step(
+                        graph, self.radius, self.relin_threshold
+                    )
                 dx_norm = float(dx_norm)
             if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
                 break

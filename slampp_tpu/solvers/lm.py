@@ -81,15 +81,32 @@ class LevenbergMarquardtSolver:
         verbose: bool = False,
         pad: bool = False,
         tau: float = 1e-3,
+        engine: str = "dense",
     ):
+        """``engine``: "dense" (assemble the full Hessian — small problems),
+        "v3" (partitioned block-sparse engine, uniform block size — scales to
+        arbitrarily long pose graphs without materializing H), or "big_ba"
+        (observation-driven Schur for cam/xyz BA — Venice scale; see
+        linear/ba_schur.BigBASolver, which the CLI auto-selects)."""
         self.system = system
         self.use_schur = use_schur
         self.verbose = verbose
         self.pad = pad
         self.tau = tau
+        self.engine = engine
         self.timer = PhaseTimer()
         self.n_iterations = 0
         self._schur_plan = None
+        self._v3 = None
+
+    def _v3_solver(self):
+        if self._v3 is None:
+            from slampp_tpu.linear.partitioned import PartitionedSolver
+
+            with self.timer.phase("v3_symbolic"):
+                self._v3 = PartitionedSolver(self.system, refine_iters=2)
+                self._v3.symbolic()
+        return self._v3
 
     def _plan(self):
         if not self.use_schur:
@@ -113,18 +130,25 @@ class LevenbergMarquardtSolver:
         while it < max_iterations:
             it += 1
             self.n_iterations += 1
-            with self.timer.phase("assemble"):
-                H, g, _ = _assemble(graph)
-            with self.timer.phase("solve"):
-                if self.use_schur:
-                    from slampp_tpu.linear.schur import schur_solve_dense_damped
-
-                    new_states, dx, denom, dx_norm = schur_solve_dense_damped(
-                        graph, H, g, alpha, self._plan()
+            if self.engine == "v3":
+                with self.timer.phase("solve"):
+                    new_states, denom, dx_norm, _ = self._v3_solver().damped_step(
+                        graph, alpha
                     )
-                else:
-                    new_states, dx, denom, dx_norm = _damped_step(graph, H, g, alpha)
-                dx_norm = float(dx_norm)
+                    dx_norm = float(dx_norm)
+            else:
+                with self.timer.phase("assemble"):
+                    H, g, _ = _assemble(graph)
+                with self.timer.phase("solve"):
+                    if self.use_schur:
+                        from slampp_tpu.linear.schur import schur_solve_dense_damped
+
+                        new_states, dx, denom, dx_norm = schur_solve_dense_damped(
+                            graph, H, g, alpha, self._plan()
+                        )
+                    else:
+                        new_states, dx, denom, dx_norm = _damped_step(graph, H, g, alpha)
+                    dx_norm = float(dx_norm)
             if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
                 break
             candidate = graph.replace_states(new_states)
