@@ -255,37 +255,68 @@ def _p2c_residual_jacs(point, cam_state, uv):
 
 
 def _jacs_chunked(points, cam_states, uvs, chunk: int = 131072):
-    """Per-observation residuals + Jacobians, evaluated in chunks: the
-    vmapped jacfwd over ALL observations materializes O(m * tangents * dim)
-    intermediates (~18 GB at Venice scale); a lax.map over fixed chunks
-    bounds that at chunk-size while producing the same stacked outputs."""
+    """Per-observation residuals + Jacobians in BATCH-LAST layout:
+    r (2, m), Jp (2, 3, m), Jc (2, 6, m).
+
+    Two reasons for the layout and the chunking: (a) the vmapped jacfwd over
+    ALL observations materializes O(m * tangents * dim) intermediates (~18 GB
+    at Venice scale) — a lax.map over fixed chunks bounds that; (b) TPU
+    tiling pads the two MINOR dims to (8, 128), so a batch-FIRST (m, 6, 3)
+    f64 array occupies 4.5 GB of HBM while (6, 3, m) takes ~1.3x its logical
+    size.  Every per-observation array in this module keeps m last."""
     m = points.shape[0]
     if m <= chunk:
-        return jax.vmap(_p2c_residual_jacs)(points, cam_states, uvs)
+        r, Jp, Jc = jax.vmap(_p2c_residual_jacs, out_axes=-1)(points, cam_states, uvs)
+        return r, Jp, Jc
     C = (m + chunk - 1) // chunk
     pad = C * chunk - m
     pp = jnp.pad(points, ((0, pad), (0, 0)))
     cp = jnp.pad(cam_states, ((0, pad), (0, 0)))
     up = jnp.pad(uvs, ((0, pad), (0, 0)))
-    # keep padded rows numerically benign (z=1 projections)
-    cp = cp.at[m:, 6:8].set(1.0) if pad else cp
-    pp = pp.at[m:, 2].set(1.0) if pad else pp
+    if pad:  # keep padded rows numerically benign (unit focal, z=1 points)
+        cp = cp.at[m:, 6:8].set(1.0)
+        pp = pp.at[m:, 2].set(1.0)
     r, Jp, Jc = lax.map(
-        lambda args: jax.vmap(_p2c_residual_jacs)(*args),
+        lambda args: jax.vmap(_p2c_residual_jacs, out_axes=-1)(*args),
         (pp.reshape(C, chunk, 3), cp.reshape(C, chunk, cp.shape[-1]),
          up.reshape(C, chunk, 2)),
-    )
-    return (
-        r.reshape(C * chunk, 2)[:m],
-        Jp.reshape(C * chunk, 2, 3)[:m],
-        Jc.reshape(C * chunk, 2, 6)[:m],
-    )
+    )  # (C, 2, chunk), (C, 2, 3, chunk), (C, 2, 6, chunk)
+    r = jnp.moveaxis(r, 0, -2).reshape(2, C * chunk)[:, :m]
+    Jp = jnp.moveaxis(Jp, 0, -2).reshape(2, 3, C * chunk)[:, :, :m]
+    Jc = jnp.moveaxis(Jc, 0, -2).reshape(2, 6, C * chunk)[:, :, :m]
+    return r, Jp, Jc
 
 
-def _segsum(data, starts, ends):
-    """Sorted segment sums via exclusive prefix sums."""
-    cum0 = jnp.concatenate([jnp.zeros((1,) + data.shape[1:], data.dtype), jnp.cumsum(data, 0)], 0)
-    return cum0[ends] - cum0[starts]
+def _segsum_last(data, starts, ends):
+    """Sorted segment sums over the LAST axis via exclusive prefix sums."""
+    cum0 = jnp.concatenate(
+        [jnp.zeros(data.shape[:-1] + (1,), data.dtype), jnp.cumsum(data, -1)], -1
+    )
+    return cum0[..., ends] - cum0[..., starts]
+
+
+def _inv3_last(D):
+    """Closed-form batched 3x3 inverse for (3, 3, n) arrays (adjugate/det) —
+    elementwise over the lane dim; TPU has no f64 LU and batch-first tiling
+    wastes 50x the memory."""
+    a, b, c = D[0, 0], D[0, 1], D[0, 2]
+    d, e, f = D[1, 0], D[1, 1], D[1, 2]
+    g, h, i = D[2, 0], D[2, 1], D[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    Dd = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * Dd + c * G
+    inv_det = 1.0 / det
+    row0 = jnp.stack([A, B, C])
+    row1 = jnp.stack([Dd, E, F])
+    row2 = jnp.stack([G, H, I])
+    return jnp.stack([row0, row1, row2]) * inv_det
 
 
 def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bool = True):
@@ -295,79 +326,83 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     (new_cams, new_lms, dx_norm, chi2, denom).  ``sc_f64`` selects an exact
     f64 SC factorization (the SC is only (6 n_c)^2 — cheap even emulated);
     False uses the equilibrated f32 + refinement path.
+
+    All per-observation arrays are BATCH-LAST (see _jacs_chunked) so Venice
+    scale (~1e6 observations) fits HBM under TPU tiling.
     """
     n_c = plan.n_c
     r, Jp, Jc = _jacs_chunked(
         lm_states[plan.obs_lm], cam_states[plan.obs_cam], plan.obs_uv
     )
-    W = plan.obs_info
-    chi2 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, W, r))
-    WJc = jnp.einsum("eij,ejk->eik", W, Jc, precision=HI)
-    WJp = jnp.einsum("eij,ejk->eik", W, Jp, precision=HI)
+    Wt = jnp.moveaxis(plan.obs_info, 0, -1)  # (2, 2, m)
+    chi2 = jnp.sum(jnp.einsum("ie,ije,je->e", r, Wt, r))
+    WJc = jnp.einsum("ije,jke->ike", Wt, Jc, precision=HI)  # (2, 6, m)
+    WJp = jnp.einsum("ije,jke->ike", Wt, Jp, precision=HI)  # (2, 3, m)
 
     # landmark blocks + rhs (obs sorted by lm)
-    D = _segsum(jnp.einsum("eij,eik->ejk", Jp, WJp, precision=HI), plan.lm_starts, plan.lm_ends)
-    g_l = _segsum(jnp.einsum("eij,ei->ej", WJp, r, precision=HI), plan.lm_starts, plan.lm_ends)
-    D = D + alpha * jnp.eye(3, dtype=D.dtype)
+    D = _segsum_last(
+        jnp.einsum("ije,ike->jke", Jp, WJp, precision=HI), plan.lm_starts, plan.lm_ends
+    )  # (3, 3, n_l)
+    g_l = _segsum_last(
+        jnp.einsum("ije,ie->je", WJp, r, precision=HI), plan.lm_starts, plan.lm_ends
+    )  # (3, n_l)
+    D = D + alpha * jnp.eye(3, dtype=D.dtype)[:, :, None]
     if plan.anchor_lm >= 0:
-        D = D.at[plan.anchor_lm].add(jnp.eye(3, dtype=D.dtype))
-    # unrolled batched SPD inverse — TPU's LuDecomposition has no f64 path
-    Dinv = inverse_spd_small(D)
+        D = D.at[:, :, plan.anchor_lm].add(jnp.eye(3, dtype=D.dtype))
+    Dinv = _inv3_last(D)  # (3, 3, n_l)
 
     # camera block-diagonal + rhs (via the camera-sorted permutation)
-    Hcc_e = jnp.einsum("eij,eik->ejk", Jc, WJc, precision=HI)
-    gc_e = jnp.einsum("eij,ei->ej", WJc, r, precision=HI)
-    Hcc_diag = _segsum(Hcc_e[plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (n_c,6,6)
-    g_c = _segsum(gc_e[plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (n_c,6)
+    Hcc_e = jnp.einsum("ije,ike->jke", Jc, WJc, precision=HI)  # (6, 6, m)
+    gc_e = jnp.einsum("ije,ie->je", WJc, r, precision=HI)  # (6, m)
+    Hcc_diag = _segsum_last(Hcc_e[:, :, plan.cam_perm], plan.cam_starts, plan.cam_ends)
+    g_c = _segsum_last(gc_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (6, n_c)
 
     # couplings per observation
-    B = jnp.einsum("eij,eik->ejk", Jc, WJp, precision=HI)  # (m, 6, 3)
-    BD = jnp.einsum("eij,ejk->eik", B, Dinv[plan.obs_lm], precision=HI)
+    B = jnp.einsum("ije,ike->jke", Jc, WJp, precision=HI)  # (6, 3, m)
+    BD = jnp.einsum("jke,kle->jle", B, Dinv[:, :, plan.obs_lm], precision=HI)
 
-    # SC pair mass: P_ef = BD_e @ B_f^T, reduced per distinct (cam_i, cam_j)
+    # SC pair mass: P_ef = BD_e @ B_f^T, reduced per distinct (cam_i, cam_j),
+    # accumulated into a (6, 6, n_c^2 + 1) flat grid (last row = dummy)
+    SCf = jnp.zeros((6, 6, n_c * n_c + 1), BD.dtype)
+
+    def pair_reduce(SCf, pe, pf, ids, st, en):
+        prod = jnp.einsum("ike,jke->ije", BD[:, :, pe], B[:, :, pf], precision=HI)
+        red = _segsum_last(prod, st, en)
+        return SCf.at[:, :, ids].add(
+            -red, indices_are_sorted=True, unique_indices=True
+        )
+
     if plan.chunked:
-        # Venice scale: scan over pair chunks (split at SC-block boundaries)
-        # so peak memory is one chunk's products, not all of them
-        SCf = jnp.zeros((n_c * n_c + 1, 6, 6), BD.dtype)
-
         def body(SCf, ch):
             pe, pf, ids, st, en = ch
-            prod = jnp.einsum("eij,ekj->eik", BD[pe], B[pf], precision=HI)
-            cum0 = jnp.concatenate(
-                [jnp.zeros((1, 6, 6), prod.dtype), jnp.cumsum(prod, 0)], 0
-            )
-            red = cum0[en] - cum0[st]
-            return (
-                SCf.at[ids].add(-red, indices_are_sorted=True, unique_indices=True),
-                None,
-            )
+            return pair_reduce(SCf, pe, pf, ids, st, en), None
 
         SCf, _ = lax.scan(
-            body,
-            SCf,
+            body, SCf,
             (plan.pair_e, plan.pair_f, plan.pair_distinct_flat,
              plan.pair_starts, plan.pair_ends),
         )
-        SC = SCf[:-1].reshape(n_c, n_c, 6, 6)
     else:
-        prod = jnp.einsum("eij,ekj->eik", BD[plan.pair_e], B[plan.pair_f], precision=HI)
-        pair_sums = _segsum(prod, plan.pair_starts, plan.pair_ends)  # (n_distinct,6,6)
-
-        SC = jnp.zeros((n_c * n_c, 6, 6), pair_sums.dtype)
-        SC = SC.at[plan.pair_distinct_flat].set(
-            -pair_sums, indices_are_sorted=True, unique_indices=True
+        SCf = pair_reduce(
+            SCf, plan.pair_e, plan.pair_f, plan.pair_distinct_flat,
+            plan.pair_starts, plan.pair_ends,
         )
-        SC = SC.reshape(n_c, n_c, 6, 6)
-    diag_idx = jnp.arange(n_c)
-    SC = SC.at[diag_idx, diag_idx].add(Hcc_diag + alpha * jnp.eye(6, dtype=SC.dtype))
+    diag_ids = jnp.arange(n_c) * (n_c + 1)
+    diag_add = Hcc_diag + alpha * jnp.eye(6, dtype=SCf.dtype)[:, :, None]
     if plan.anchor_cam >= 0:
-        SC = SC.at[plan.anchor_cam, plan.anchor_cam].add(jnp.eye(6, dtype=SC.dtype))
-    SC = jnp.transpose(SC, (0, 2, 1, 3)).reshape(n_c * 6, n_c * 6)
+        diag_add = diag_add.at[:, :, plan.anchor_cam].add(jnp.eye(6, dtype=SCf.dtype))
+    SCf = SCf.at[:, :, diag_ids].add(diag_add)
+    SC = (
+        SCf[:, :, :-1]
+        .reshape(6, 6, n_c, n_c)
+        .transpose(2, 0, 3, 1)
+        .reshape(n_c * 6, n_c * 6)
+    )
 
     # reduced rhs: g_c - sum_l U_l Dinv_l g_l  (per-obs contribution BD_e g_l)
-    r2_e = jnp.einsum("eij,ej->ei", BD, g_l[plan.obs_lm], precision=HI)  # (m, 6)
-    r2 = _segsum(r2_e[plan.cam_perm], plan.cam_starts, plan.cam_ends)
-    rhs = -(g_c - r2).reshape(-1)
+    r2_e = jnp.einsum("ije,je->ie", BD, g_l[:, plan.obs_lm], precision=HI)  # (6, m)
+    r2 = _segsum_last(r2_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends)
+    rhs = -(g_c - r2).T.reshape(-1)
 
     if sc_f64:
         L = lax.linalg.cholesky(SC, symmetrize_input=True)
@@ -396,18 +431,18 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
 
     # landmark back-substitution: dx_l = Dinv (-g_l - sum_e B_e^T dx_c[cam_e])
     dxc_blocks = dx_c.reshape(n_c, 6)
-    bt_e = jnp.einsum("eij,ei->ej", B, dxc_blocks[plan.obs_cam], precision=HI)  # (m,3)
-    BT = _segsum(bt_e, plan.lm_starts, plan.lm_ends)
-    dx_l = jnp.einsum("lij,lj->li", Dinv, -g_l - BT, precision=HI)
+    bt_e = jnp.einsum("ije,ie->je", B, dxc_blocks.T[:, plan.obs_cam], precision=HI)
+    BT = _segsum_last(bt_e, plan.lm_starts, plan.lm_ends)  # (3, n_l)
+    dx_l = jnp.einsum("ijn,jn->in", Dinv, -g_l - BT, precision=HI)  # (3, n_l)
 
     new_cams = jax.vmap(
         lambda st, d: jnp.concatenate([se3.plus(st[0:6], d), st[6:11]])
     )(cam_states, dxc_blocks)
-    new_lms = lm_states + dx_l
+    new_lms = lm_states + dx_l.T
 
     sq = jnp.dot(dx_c, dx_c) + jnp.sum(dx_l * dx_l)
     # LM gain denominator dx.(alpha dx - g) with the FULL gradient (g_c, g_l)
-    g_dot = jnp.sum(dxc_blocks * g_c) + jnp.sum(dx_l * g_l)
+    g_dot = jnp.sum(dxc_blocks.T * g_c) + jnp.sum(dx_l * g_l)
     denom = alpha * sq - g_dot
     return new_cams, new_lms, jnp.sqrt(sq), chi2, denom
 
