@@ -335,38 +335,56 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
         lm_states[plan.obs_lm], cam_states[plan.obs_cam], plan.obs_uv
     )
     Wt = jnp.moveaxis(plan.obs_info, 0, -1)  # (2, 2, m)
-    chi2 = jnp.sum(jnp.einsum("ie,ije,je->e", r, Wt, r))
-    WJc = jnp.einsum("ije,jke->ike", Wt, Jc, precision=HI)  # (2, 6, m)
-    WJp = jnp.einsum("ije,jke->ike", Wt, Jp, precision=HI)  # (2, 3, m)
+    # NOTE on contraction style: every per-observation contraction below is a
+    # broadcast-multiply-reduce over the TINY leading dims, NOT an einsum —
+    # a dot_general with the batch dim last gets transposed to batch-first by
+    # the TPU lowering, and a batch-first (m, 6, 6) f64 temporary tiles to
+    # 20+ GB at Venice scale.
+    Wr = jnp.sum(Wt * r[None, :, :], axis=1)  # (2, m)
+    chi2 = jnp.sum(r * Wr)
+    WJc = jnp.sum(Wt[:, :, None, :] * Jc[None, :, :, :], axis=1)  # (2, 6, m)
+    WJp = jnp.sum(Wt[:, :, None, :] * Jp[None, :, :, :], axis=1)  # (2, 3, m)
 
     # landmark blocks + rhs (obs sorted by lm)
     D = _segsum_last(
-        jnp.einsum("ije,ike->jke", Jp, WJp, precision=HI), plan.lm_starts, plan.lm_ends
+        jnp.sum(Jp[:, :, None, :] * WJp[:, None, :, :], axis=0),
+        plan.lm_starts, plan.lm_ends,
     )  # (3, 3, n_l)
     g_l = _segsum_last(
-        jnp.einsum("ije,ie->je", WJp, r, precision=HI), plan.lm_starts, plan.lm_ends
+        jnp.sum(WJp * r[:, None, :], axis=0), plan.lm_starts, plan.lm_ends
     )  # (3, n_l)
     D = D + alpha * jnp.eye(3, dtype=D.dtype)[:, :, None]
     if plan.anchor_lm >= 0:
         D = D.at[:, :, plan.anchor_lm].add(jnp.eye(3, dtype=D.dtype))
     Dinv = _inv3_last(D)  # (3, 3, n_l)
 
-    # camera block-diagonal + rhs (via the camera-sorted permutation)
-    Hcc_e = jnp.einsum("ije,ike->jke", Jc, WJc, precision=HI)  # (6, 6, m)
-    gc_e = jnp.einsum("ije,ie->je", WJc, r, precision=HI)  # (6, m)
-    Hcc_diag = _segsum_last(Hcc_e[:, :, plan.cam_perm], plan.cam_starts, plan.cam_ends)
+    # camera block-diagonal + rhs (via the camera-sorted permutation).
+    # Last-axis gathers of rank-3 arrays make XLA transpose to batch-first
+    # (whose (8,128)-tiled minors cost 20+ GB at this scale) — so every
+    # gather/permutation below runs on a 2-D (k, m) FLATTENED view.
+    m = r.shape[-1]
+    Hcc_e = jnp.sum(Jc[:, :, None, :] * WJc[:, None, :, :], axis=0).reshape(36, m)
+    gc_e = jnp.sum(WJc * r[:, None, :], axis=0)  # (6, m)
+    Hcc_diag = _segsum_last(
+        Hcc_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends
+    ).reshape(6, 6, n_c)
     g_c = _segsum_last(gc_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (6, n_c)
 
     # couplings per observation
-    B = jnp.einsum("ije,ike->jke", Jc, WJp, precision=HI)  # (6, 3, m)
-    BD = jnp.einsum("jke,kle->jle", B, Dinv[:, :, plan.obs_lm], precision=HI)
+    Dinv_obs = Dinv.reshape(9, -1)[:, plan.obs_lm].reshape(3, 3, m)
+    B = jnp.sum(Jc[:, :, None, :] * WJp[:, None, :, :], axis=0)  # (6, 3, m)
+    BD = jnp.sum(B[:, :, None, :] * Dinv_obs[None, :, :, :], axis=1)  # (6, 3, m)
+    B2 = B.reshape(18, m)
+    BD2 = BD.reshape(18, m)
 
     # SC pair mass: P_ef = BD_e @ B_f^T, reduced per distinct (cam_i, cam_j),
     # accumulated into a (6, 6, n_c^2 + 1) flat grid (last row = dummy)
     SCf = jnp.zeros((6, 6, n_c * n_c + 1), BD.dtype)
 
     def pair_reduce(SCf, pe, pf, ids, st, en):
-        prod = jnp.einsum("ike,jke->ije", BD[:, :, pe], B[:, :, pf], precision=HI)
+        BDg = BD2[:, pe].reshape(6, 3, pe.shape[-1])
+        Bg = B2[:, pf].reshape(6, 3, pf.shape[-1])
+        prod = jnp.sum(BDg[:, None, :, :] * Bg[None, :, :, :], axis=2)  # (6,6,cap)
         red = _segsum_last(prod, st, en)
         return SCf.at[:, :, ids].add(
             -red, indices_are_sorted=True, unique_indices=True
@@ -400,7 +418,7 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     )
 
     # reduced rhs: g_c - sum_l U_l Dinv_l g_l  (per-obs contribution BD_e g_l)
-    r2_e = jnp.einsum("ije,je->ie", BD, g_l[:, plan.obs_lm], precision=HI)  # (6, m)
+    r2_e = jnp.sum(BD * g_l[:, plan.obs_lm][None, :, :], axis=1)  # (6, m)
     r2 = _segsum_last(r2_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends)
     rhs = -(g_c - r2).T.reshape(-1)
 
@@ -431,9 +449,9 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
 
     # landmark back-substitution: dx_l = Dinv (-g_l - sum_e B_e^T dx_c[cam_e])
     dxc_blocks = dx_c.reshape(n_c, 6)
-    bt_e = jnp.einsum("ije,ie->je", B, dxc_blocks.T[:, plan.obs_cam], precision=HI)
+    bt_e = jnp.sum(B * dxc_blocks.T[:, plan.obs_cam][:, None, :], axis=0)  # (3, m)
     BT = _segsum_last(bt_e, plan.lm_starts, plan.lm_ends)  # (3, n_l)
-    dx_l = jnp.einsum("ijn,jn->in", Dinv, -g_l - BT, precision=HI)  # (3, n_l)
+    dx_l = jnp.sum(Dinv * (-g_l - BT)[None, :, :], axis=1)  # (3, n_l)
 
     new_cams = jax.vmap(
         lambda st, d: jnp.concatenate([se3.plus(st[0:6], d), st[6:11]])
