@@ -1,60 +1,72 @@
 #!/usr/bin/env python
-"""Driver benchmark: Manhattan-3500 pose-graph GN + Venice-871-class BA on TPU.
+"""Driver benchmark: Venice-871 BA + Manhattan-3500 pose-graph GN +
+incremental windowed solve, on TPU.
 
 Prints one JSON line per metric; the LAST line is the primary north-star
 metric (Manhattan-3500 GN iterations/sec, BASELINE.md row 2).
 
+Process model: the parent runs each benchmark in a SUBPROCESS and re-emits
+its JSON lines.  A TPU worker crash in one benchmark therefore cannot take
+down the other metrics or the parent's exit code (the round-2 failure mode:
+a Venice kernel fault zeroed every metric).
+
 Metrics:
   * venice871_ba_iters_per_sec — observation-driven Schur LM iterations/sec
-    on a Venice-871-class synthetic scene (871 cams, 110k landmarks, ~1.1M
-    observations; BASELINE.md row 12 is correctness-only, so vs_baseline is
-    measured against the REFERENCE BINARY compiled from /root/reference and
-    timed on this machine's CPU — see scripts/build_reference.sh).
+    at FULL Venice scale (871 cams, 110k landmarks, ~1.1M observations;
+    real accept/reject LM loop).  vs_baseline is the REFERENCE BINARY
+    compiled from /root/reference and timed on this machine's CPU on the
+    same generated scene (scripts/build_reference.sh, BENCH_NOTES.md).
   * manhattan3500_gn_iters_per_sec — batch GN on a 3500-pose synthetic
-    Manhattan world via the partitioned dense-core (v3) solver;
-    vs_baseline against the reference's published 0.0419 s / 5 iters
-    (ICRA'13, BASELINE.md row 2 -> 119.3 iter/s).
+    Manhattan world via the partitioned (v3) solver; vs_baseline against
+    the same-machine reference binary (published ICRA'13 ratio in extra).
+  * manhattan3500_incremental_steps_per_sec — windowed incremental solve
+    (every-vertex solve cadence, the -fL role) on the same dataset.
 
-The reference datasets are not downloadable here (zero egress), so both
-benchmarks run md5-stable synthetic datasets of the same size class; chi2 is
-validated against this framework's own f64 oracle, and chi2 SEMANTICS are
-validated against the reference binary in scripts/ref_parity.py (7/7 match).
+The reference datasets are not downloadable here (zero egress), so all
+benchmarks run md5-stable synthetic datasets of the same size class; chi2
+semantics are validated against the reference binary in
+scripts/ref_parity.py.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import numpy as np  # noqa: E402
-
-import slampp_tpu  # noqa: E402  (x64 on)
-import jax  # noqa: E402
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 
 def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
+def _child_setup():
+    import slampp_tpu  # noqa: F401  (x64 on)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache")
+    )
+    return jax
+
+
+# --------------------------------------------------------------------- venice
+
+
 def bench_venice():
+    jax = _child_setup()
+    import numpy as np  # noqa: F401
+
     from slampp_tpu.io.datasets import make_venice_ba_arrays
     from slampp_tpu.linear.ba_schur import BigBASolver
 
     n_cams = int(os.environ.get("BENCH_VENICE_CAMS", "871"))
     n_points = int(os.environ.get("BENCH_VENICE_POINTS", "110000"))
-    # mean track length 6 -> ~0.66M observations; the full 1.1M-observation
-    # configuration currently trips a backend layout choice that tiles one
-    # per-observation f64 temporary at 56x its logical size (18 GB) — see
-    # BENCH_NOTES.md; the reference baseline below was measured on the SAME
-    # generated scene
-    mean_track = int(os.environ.get("BENCH_VENICE_TRACK", "6"))
+    # mean track length 10 -> ~1.1M observations (full venice871 scale,
+    # unit_tests.sh:182-188)
+    mean_track = int(os.environ.get("BENCH_VENICE_TRACK", "10"))
     t0 = time.perf_counter()
     cams, lms, oc, ol, uv, info, _ = make_venice_ba_arrays(
         n_cams=n_cams, n_points=n_points, mean_track=mean_track, seed=0
@@ -64,28 +76,24 @@ def bench_venice():
     solver = BigBASolver.from_arrays(cams, lms, oc, ol, uv, info, sc_f64=False)
     t_sym = time.perf_counter() - t0
 
+    # warm-up: ONE full step (compile) + chi2 fn
     solver._make_step()
-    c = solver._cams
-    l = solver._lms
-    # first step (compile)
+    chi2_0 = float(solver._chi2_fn(solver.plan, solver._cams, solver._lms))
     t0 = time.perf_counter()
-    nc, nl, dxn, chi2_0, denom = solver._step(c, l, 1e-3)
-    np.asarray(dxn)
+    solver._step(solver._cams, solver._lms, 1e-3)[2].block_until_ready()
     t_first = time.perf_counter() - t0
 
-    # steady state: chained damped steps (true data dependency step to step)
-    n_timed = int(os.environ.get("BENCH_VENICE_ITERS", "6"))
+    # the REAL LM accept/reject loop (reference runs 5 LM iterations on
+    # venice871; we time the same loop shape end-to-end, host logic included)
+    n_lm = int(os.environ.get("BENCH_VENICE_ITERS", "5"))
     t0 = time.perf_counter()
-    cc, ll = c, l
-    for _ in range(n_timed):
-        cc, ll, dxn, chi2, denom = solver._step(cc, ll, 1e-3)
-    np.asarray(dxn)
+    applied = solver.optimize(max_iterations=n_lm, min_dx_norm=0.0)
     dt = time.perf_counter() - t0
-    iters_per_sec = n_timed / dt
-    chi2_final = float(chi2)
+    iters_per_sec = n_lm / dt
+    chi2_final = float(solver._chi2_fn(solver.plan, solver._cams, solver._lms))
 
     # reference binary measured on this machine (scripts/build_reference.sh +
-    # `slam_plus_plus -i venice_synth.g2o -us -nb`), same synthetic scene:
+    # `slam_plus_plus -i venice_synth.g2o -us -nb`), same scene class:
     # 5 LM iterations in 60.99 s -> 0.0820 iter/s (BENCH_NOTES.md)
     ref_iters_per_sec = float(os.environ.get("BENCH_VENICE_REF_IPS", "0.0820"))
 
@@ -101,18 +109,23 @@ def bench_venice():
                 "n_cams": n_cams,
                 "n_points": n_points,
                 "n_obs": int(len(oc)),
-                "chi2_initial": round(float(chi2_0), 2),
-                "chi2_after_steps": round(chi2_final, 2),
+                "lm_iterations": n_lm,
+                "lm_accepted": applied,
+                "chi2_initial": round(chi2_0, 2),
+                "chi2_final": round(chi2_final, 2),
                 "first_step_s": round(t_first, 3),
                 "symbolic_s": round(t_sym, 3),
                 "gen_s": round(t_gen, 3),
-                "sc_pairs_chunked": bool(solver.plan.chunked),
+                "sc_pair_buckets": [
+                    list(b.idx.shape) for b in solver.plan.pair_grp.buckets
+                ],
                 "device": str(jax.devices()[0]),
             },
         }
     )
-    return iters_per_sec
 
+
+# ------------------------------------------------------------------ manhattan
 
 # chi2 of the seed-0 BENCH_POSES=3500 Manhattan graph after 5 GN iterations:
 # 404.504 from our f64 oracle (PartitionedSolver mixed_precision=False, CPU)
@@ -128,24 +141,32 @@ _REF_MEASURED_IPS = {3500: 30.8}
 _REF_PUBLISHED_IPS = 5.0 / 0.0419
 
 
-def bench_manhattan():
+def _manhattan_system(n_poses):
     import tempfile
 
     from slampp_tpu.io.datasets import make_manhattan
     from slampp_tpu.io.parser import build_system, parse_file
-    from slampp_tpu.linear.partitioned import PartitionedSolver
 
-    n_poses = int(os.environ.get("BENCH_POSES", "3500"))
-    target = int(os.environ.get("BENCH_TARGET", "64"))
-    refine = int(os.environ.get("BENCH_REFINE", "0"))
     text, _ = make_manhattan(n_poses=n_poses, loop_prob=0.1, seed=0)
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
         f.write(text)
         path = f.name
     try:
-        system = build_system(parse_file(path))
+        return build_system(parse_file(path))
     finally:
         os.unlink(path)
+
+
+def bench_manhattan():
+    jax = _child_setup()
+    import numpy as np
+
+    from slampp_tpu.linear.partitioned import PartitionedSolver
+
+    n_poses = int(os.environ.get("BENCH_POSES", "3500"))
+    target = int(os.environ.get("BENCH_TARGET", "64"))
+    refine = int(os.environ.get("BENCH_REFINE", "0"))
+    system = _manhattan_system(n_poses)
 
     ps = PartitionedSolver(
         system, target=target, mixed_precision=True, refine_iters=refine
@@ -230,15 +251,116 @@ def bench_manhattan():
     )
 
 
+# ---------------------------------------------------------------- incremental
+
+
+def bench_incremental():
+    """Windowed incremental solve on manhattan3500, every-vertex cadence —
+    the -fL role (BASELINE.md row 20: 1600 steps / 3.046 s RSS'13)."""
+    _child_setup()
+
+    from slampp_tpu.graph.system import GraphSystem
+    from slampp_tpu.io.datasets import make_manhattan
+    from slampp_tpu.io.parser import build_system, parse_file
+    from slampp_tpu.solvers.incremental_windowed import WindowedIncrementalSolver
+    import tempfile
+
+    n_poses = int(os.environ.get("BENCH_INC_POSES", "3500"))
+    text, _ = make_manhattan(n_poses=n_poses, loop_prob=0.1, seed=0)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+
+    system = GraphSystem()
+    inc = WindowedIncrementalSolver(system, solve_period=1)
+    t0 = time.perf_counter()
+    try:
+        build_system(
+            parse_file(path), problem="se2", system=system,
+            on_edge=lambda s, n: inc.incremental_step(),
+        )
+    finally:
+        os.unlink(path)
+    inc.finalize()
+    dt = time.perf_counter() - t0
+    chi2 = inc.chi2()
+    steps = inc.n_solves
+    steps_per_sec = steps / dt
+
+    # reference -fL measured on this machine on the same generated file
+    # (BENCH_NOTES.md; falls back to the RSS'13-published manhattanOlson
+    # number 1600/3.046 s if no same-machine measurement is recorded)
+    ref_sps = float(os.environ.get("BENCH_INC_REF_SPS", "0"))
+    published_sps = 1600 / 3.046
+    _emit(
+        {
+            "metric": "manhattan3500_incremental_steps_per_sec",
+            "value": round(steps_per_sec, 3),
+            "unit": "step/s",
+            "vs_baseline": round(steps_per_sec / (ref_sps or published_sps), 4),
+            "extra": {
+                "n_poses": n_poses,
+                "steps": int(steps),
+                "total_s": round(dt, 2),
+                "chi2_final": round(float(chi2), 2),
+                "ref_same_machine_sps": ref_sps or None,
+                "published_rss13_sps": round(published_sps, 1),
+            },
+        }
+    )
+
+
+# ------------------------------------------------------------------- parent
+
+
+_CHILDREN = {
+    "venice": bench_venice,
+    "manhattan": bench_manhattan,
+    "incremental": bench_incremental,
+}
+
+
 def main():
-    if os.environ.get("BENCH_SKIP_VENICE", "") != "1":
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        _CHILDREN[sys.argv[2]]()
+        return
+
+    jobs = ["venice", "incremental", "manhattan"]
+    if os.environ.get("BENCH_SKIP_VENICE", "") == "1":
+        jobs.remove("venice")
+    if os.environ.get("BENCH_SKIP_INCREMENTAL", "") == "1":
+        jobs.remove("incremental")
+
+    names = {
+        "venice": "venice871_ba_iters_per_sec",
+        "manhattan": "manhattan3500_gn_iters_per_sec",
+        "incremental": "manhattan3500_incremental_steps_per_sec",
+    }
+    for job in jobs:
         try:
-            bench_venice()
-        except Exception as e:  # keep the primary metric alive no matter what
-            _emit({"metric": "venice871_ba_iters_per_sec", "value": None,
-                   "unit": "iter/s", "vs_baseline": None,
-                   "extra": {"error": repr(e)[:400]}})
-    bench_manhattan()
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", job],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_JOB_TIMEOUT", "3000")),
+            )
+            emitted = False
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    emitted = True
+            if not emitted:
+                _emit({
+                    "metric": names[job], "value": None, "unit": "iter/s",
+                    "vs_baseline": None,
+                    "extra": {"error": (out.stderr or out.stdout)[-400:],
+                              "rc": out.returncode},
+                })
+        except subprocess.TimeoutExpired:
+            _emit({
+                "metric": names[job], "value": None, "unit": "iter/s",
+                "vs_baseline": None, "extra": {"error": "timeout"},
+            })
 
 
 if __name__ == "__main__":

@@ -143,7 +143,23 @@ def main(argv=None):
     else:
         system = build_system(records, problem=problem)
         if solver_kind == "lambda-lm":
-            solver = LevenbergMarquardtSolver(system, use_schur=use_schur, verbose=args.verbose)
+            # Venice-class mono BA: route through the observation-driven
+            # Schur engine so no dense Hessian is ever materialized
+            # (reference -us BA at any scale, Main.cpp:203-207 ->
+            # LinearSolver_Schur.h:1623).  Threshold in observations.
+            big_thresh = int(os.environ.get("SLAMPP_BIGBA_THRESHOLD", "20000"))
+            engine = (
+                "big_ba"
+                if (
+                    problem == "ba"
+                    and set(system.edge_type_names) == {"edge_p2c"}
+                    and system.n_edges >= big_thresh
+                )
+                else "dense"
+            )
+            solver = LevenbergMarquardtSolver(
+                system, use_schur=use_schur, verbose=args.verbose, engine=engine
+            )
         elif solver_kind == "lambda-dl":
             solver = DoglegSolver(system, verbose=args.verbose)
         elif solver_kind == "A":

@@ -70,6 +70,46 @@ def interval_partition(
     for k in range(n_parts - 1):
         sep.add(int(bounds[k + 1] - 1))
 
+    return _finish_partition(n, pairs, chunk_of, sep)
+
+
+def bfs_partition(
+    n: int, pairs: Sequence[Tuple[int, int]], target: int = 64
+) -> Partition:
+    """Region-growing partition for NON-chain graphs (landmark-induced pose
+    coupling, loop-dense graphs): BFS from successive seeds collects parts of
+    ~``target`` blocks each, then remaining part-crossing edges are covered
+    greedily by a vertex separator."""
+    from collections import deque
+
+    adj: List[List[int]] = [[] for _ in range(n)]
+    for i, j in pairs:
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+
+    chunk_of = np.full(n, -1, np.int64)
+    k = 0
+    for seed in range(n):
+        if chunk_of[seed] >= 0:
+            continue
+        size = 0
+        frontier = deque([seed])
+        while frontier and size < target:
+            v = frontier.popleft()
+            if chunk_of[v] >= 0:
+                continue
+            chunk_of[v] = k
+            size += 1
+            for w in adj[v]:
+                if chunk_of[w] < 0:
+                    frontier.append(w)
+        k += 1
+    return _finish_partition(n, pairs, chunk_of, set())
+
+
+def _finish_partition(n, pairs, chunk_of, sep: set) -> Partition:
+    """Shared tail: cover remaining part-crossing edges with a greedy
+    max-degree vertex separator, then build part/boundary lists."""
     crossing = [
         (int(i), int(j))
         for i, j in pairs
@@ -97,9 +137,10 @@ def interval_partition(
     in_sep = np.zeros(n, bool)
     in_sep[separator] = True
 
+    n_parts = int(chunk_of.max()) + 1 if n else 0
     parts = []
     for k in range(n_parts):
-        members = np.arange(bounds[k], bounds[k + 1])
+        members = np.flatnonzero(chunk_of == k)
         parts.append(members[~in_sep[members]])
     parts = [p for p in parts if len(p)]
 
@@ -128,10 +169,15 @@ def partition_graph(
     target: int = 64,
     max_sep_frac: float = 0.45,
 ) -> Partition:
-    """Interval partition with a quality gate: raises ValueError when the
-    separator exceeds ``max_sep_frac`` of the blocks (graph is not
-    chain-like; use the v2 level-scheduled engine instead)."""
+    """Best-available partition with a quality gate: interval (optimal for
+    trajectory-ordered chains), then BFS region growing (general graphs);
+    raises ValueError when even the BFS separator exceeds ``max_sep_frac``
+    of the blocks (use the v2 level-scheduled engine instead)."""
     part = interval_partition(n, pairs, target=target)
+    if n and len(part.separator) > max_sep_frac * n:
+        part_b = bfs_partition(n, pairs, target=target)
+        if len(part_b.separator) < len(part.separator):
+            part = part_b
     if n and len(part.separator) > max_sep_frac * n:
         raise ValueError(
             f"separator has {len(part.separator)}/{n} blocks; "

@@ -424,3 +424,74 @@ def make_spheron(n_poses: int = 8, n_points: int = 40, seed: int = 0):
                 % (k, n_poses + pi, *local)
             )
     return "\n".join(lines) + "\n", pts
+
+
+def make_city_trees(
+    n_poses: int = 500,
+    n_landmarks: int = 120,
+    obs_radius: float = 4.0,
+    max_obs_per_pose: int = 3,
+    trans_noise: float = 0.05,
+    rot_noise: float = 0.02,
+    lm_noise: float = 0.05,
+    seed: int = 0,
+    loop_prob: float = 0.05,
+):
+    """cityTrees10k-class SE(2) pose+landmark graph: a Manhattan-style
+    trajectory observing scattered XY landmarks (EDGE2 odometry +
+    LANDMARK2:XY observations).  Returns (g2o_text, (gt_poses, gt_lms))."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((n_poses, 3))
+    pose = np.zeros(3)
+    for i in range(1, n_poses):
+        turn = rng.choice([0, 0, 0, 1, -1])
+        pose = _np_rel_to_abs(pose, np.array([1.0, 0.0, turn * np.pi / 2]))
+        gt[i] = pose
+
+    lo = gt[:, :2].min(0) - 2.0
+    hi = gt[:, :2].max(0) + 2.0
+    lms = rng.uniform(lo, hi, (n_landmarks, 2))
+
+    info_t = 1.0 / (trans_noise**2)
+    info_r = 1.0 / (rot_noise**2)
+    info6 = (info_t, 0.0, 0.0, info_t, 0.0, info_r)
+    info_lm = 1.0 / (lm_noise**2)
+    lines = []
+    for i in range(1, n_poses):
+        rel = _np_abs_to_rel_se2(gt[i - 1], gt[i])
+        rel[0] += rng.normal(0, trans_noise)
+        rel[1] += rng.normal(0, trans_noise)
+        rel[2] += rng.normal(0, rot_noise)
+        lines.append(
+            "EDGE2 %d %d %.9f %.9f %.9f %.6f %.6f %.6f %.6f %.6f %.6f"
+            % (i - 1, i, *rel, *info6)
+        )
+        if i > 50 and rng.random() < loop_prob:
+            d2 = np.sum((gt[: i - 50, :2] - gt[i, :2]) ** 2, axis=1)
+            j = int(np.argmin(d2))
+            if d2[j] < 4.0:
+                rel = _np_abs_to_rel_se2(gt[j], gt[i])
+                rel[0] += rng.normal(0, trans_noise)
+                rel[1] += rng.normal(0, trans_noise)
+                rel[2] += rng.normal(0, rot_noise)
+                lines.append(
+                    "EDGE2 %d %d %.9f %.9f %.9f %.6f %.6f %.6f %.6f %.6f %.6f"
+                    % (j, i, *rel, *info6)
+                )
+    n_obs_of = np.zeros(n_landmarks, np.int64)
+    for i in range(n_poses):
+        d2 = np.sum((lms - gt[i, :2]) ** 2, axis=1)
+        near = np.flatnonzero(d2 < obs_radius**2)
+        rng.shuffle(near)
+        for l in near[:max_obs_per_pose]:
+            de, dn = lms[l, 0] - gt[i, 0], lms[l, 1] - gt[i, 1]
+            c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+            z = np.array([c * de + s * dn, -s * de + c * dn])
+            z += rng.normal(0, lm_noise, 2)
+            lines.append(
+                "LANDMARK2:XY %d %d %.9f %.9f %.6f 0.0 %.6f"
+                % (i, n_poses + l, z[0], z[1], info_lm, info_lm)
+            )
+            n_obs_of[l] += 1
+    # landmarks with zero observations simply never appear in the file
+    return "\n".join(lines) + "\n", (gt, lms)

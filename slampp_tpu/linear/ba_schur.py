@@ -7,14 +7,17 @@ observations, the way the reference's BA pipeline uses its block-sparse
 lambda (SURVEY.md §3.3), but organized for TPU:
 
   * observations sorted by landmark: landmark blocks D_l, g_l and the
-    back-substitution are sorted-segment reductions (prefix-sum trick);
-  * a camera-sorted permutation gives the block-diagonal part of H_cc and
+    back-substitution are GROUPED padded-gather reductions (ops/segments.py
+    — measured 64x faster to compile and 1.5x faster to run than the
+    prefix-sum formulation in f64, and immune to the fused-cumsum Mosaic
+    kernel fault that killed the round-2 Venice bench);
+  * a camera-grouped index map gives the block-diagonal part of H_cc and
     the camera RHS the same way (pure BA has no cam-cam edges, so H_cc is
     block-diagonal before the Schur subtraction);
   * the SC off-diagonal mass, SC -= sum_l U_l D_l^-1 U_l^T, expands into
     per-observation-PAIR 6x6 GEMMs (pairs of observations sharing a
-    landmark), host-sorted by (cam_i, cam_j) so the reduction is again a
-    prefix-sum + ONE sorted-unique scatter into the dense SC;
+    landmark), host-sorted by (cam_i, cam_j) and reduced bucket-by-bucket
+    with bounded-memory chunking;
   * the dense SC (6 n_c)^2 factors with the MXU (mixed precision optional).
 
 This is the role the reference's GPU Schur backend plays
@@ -33,7 +36,11 @@ from jax import lax
 
 from slampp_tpu.geometry import camera as cam_geo
 from slampp_tpu.geometry import se3
-from slampp_tpu.ops.small_blocks import inverse_spd_small
+from slampp_tpu.ops.segments import (
+    GroupedSegments,
+    grouped_segsum_last,
+    plan_grouped_segments,
+)
 
 HI = lax.Precision.HIGHEST
 
@@ -42,36 +49,30 @@ class BASchurPlan(NamedTuple):
     n_c: int
     n_l: int
     n_obs: int
+    n_distinct: int  # distinct SC blocks touched by pair products
     # observation arrays SORTED BY LANDMARK
     obs_cam: jnp.ndarray  # (m,) int32
     obs_lm: jnp.ndarray  # (m,) int32 (sorted ascending)
     obs_uv: jnp.ndarray  # (m, 2)
     obs_info: jnp.ndarray  # (m, 2, 2)
-    lm_starts: jnp.ndarray  # (n_l,) segment starts into obs
-    lm_ends: jnp.ndarray  # (n_l,)
-    # camera-sorted permutation of observations + segments per camera
-    cam_perm: jnp.ndarray  # (m,) int32: obs indices sorted by camera
-    cam_starts: jnp.ndarray  # (n_c,)
-    cam_ends: jnp.ndarray  # (n_c,)
-    # observation pairs sharing a landmark, sorted by (cam_i * n_c + cam_j).
-    # Unchunked mode: (M2,) flat lists + one global segment table.  Chunked
-    # mode (Venice scale — the (M2, 6, 6) pair products would not fit HBM):
-    # pairs are split at SC-block boundaries into rows of a (C, cap) layout
-    # scanned on device, each chunk scattering its sorted-unique SC blocks.
-    pair_e: jnp.ndarray  # (M2,) or (C, cap) int32 obs index (row side)
-    pair_f: jnp.ndarray  # (M2,) or (C, cap) int32 obs index (col side)
-    pair_distinct_flat: jnp.ndarray  # (n_distinct,) or (C, dmax) flat ids
-    pair_starts: jnp.ndarray  # (n_distinct,) or (C, dmax)
-    pair_ends: jnp.ndarray  # (n_distinct,) or (C, dmax)
+    # grouped reduction plans (ops/segments.py); index entries are DIRECT
+    # observation indices (camera plan pre-remapped through the cam sort)
+    lm_grp: GroupedSegments
+    cam_grp: GroupedSegments
+    # observation pairs sharing a landmark, sorted by (cam_i * n_c + cam_j),
+    # with ONE dummy pair at index M2 pointing at the dummy observation m
+    pair_e: jnp.ndarray  # (M2 + 1,) int32 obs index (row side)
+    pair_f: jnp.ndarray  # (M2 + 1,) int32 obs index (col side)
+    pair_grp: GroupedSegments  # segments = distinct SC blocks, over pairs
+    sc_inv_map: jnp.ndarray  # (n_c*n_c,) -> distinct id or n_distinct (zero)
     anchor_cam: int  # -1 when the gauge anchor is a landmark
     anchor_lm: int  # -1 when the gauge anchor is a camera
-    chunked: bool = False
 
 
 # Register as a pytree with the scalars static so plans pass as jit ARGUMENTS
 # (closure-captured plans embed megabytes of constants into the MLIR and blow
 # up compile time / crash the remote compiler).
-_BA_STATIC = ("n_c", "n_l", "n_obs", "anchor_cam", "anchor_lm", "chunked")
+_BA_STATIC = ("n_c", "n_l", "n_obs", "n_distinct", "anchor_cam", "anchor_lm")
 _BA_FIELDS = BASchurPlan._fields
 
 
@@ -133,24 +134,33 @@ def build_ba_schur_plan_arrays(
     info: np.ndarray,
     anchor_cam: int = 0,
     anchor_lm: int = -1,
-    pair_chunk: int = 2_000_000,
 ) -> BASchurPlan:
     """Vectorized host symbolic phase from raw observation arrays (the
     Venice-scale entry point — no Python loop over observations or
-    landmarks).  When the landmark-sharing pair count exceeds ``pair_chunk``
-    the SC reduction is laid out in device-scanned chunks split at SC-block
-    boundaries, bounding peak HBM at ~chunk * 36 * 8 bytes."""
+    landmarks)."""
     m = len(oc)
     order = np.argsort(ol, kind="stable")
     oc, ol, uv, info = oc[order], ol[order], uv[order], info[order]
 
     lm_starts = np.searchsorted(ol, np.arange(n_l))
     lm_ends = np.searchsorted(ol, np.arange(n_l) + 1)
+    lm_grp = plan_grouped_segments(lm_starts, lm_ends, m)
 
     cam_perm = np.argsort(oc, kind="stable")
     oc_sorted = oc[cam_perm]
     cam_starts = np.searchsorted(oc_sorted, np.arange(n_c))
     cam_ends = np.searchsorted(oc_sorted, np.arange(n_c) + 1)
+    # camera plan with DIRECT observation indices (remap through cam sort)
+    cam_grp = plan_grouped_segments(cam_starts, cam_ends, m)
+    perm_pad = np.concatenate([cam_perm, [m]]).astype(np.int64)
+    cam_grp = GroupedSegments(
+        m=m, n_seg=n_c,
+        buckets=tuple(
+            type(b)(seg_ids=b.seg_ids,
+                    idx=jnp.asarray(perm_pad[np.asarray(b.idx)], jnp.int32))
+            for b in cam_grp.buckets
+        ),
+    )
 
     # all ordered observation pairs sharing a landmark, vectorized:
     # pair t belongs to landmark lm_of[t]; within its deg^2 block,
@@ -170,77 +180,33 @@ def build_ba_schur_plan_arrays(
     pair_e, pair_f, flat = pair_e[po], pair_f[po], flat[po]
     distinct, starts = np.unique(flat, return_index=True)
     ends = np.concatenate([starts[1:], [len(flat)]])
+    n_distinct = len(distinct)
+    pair_grp = plan_grouped_segments(starts, ends, M2)
 
-    chunked = M2 > pair_chunk
-    if chunked:
-        # split the pair stream at SC-block boundaries into rows <= cap
-        cap = pair_chunk
-        cuts = [0]
-        g = 0
-        n_groups = len(distinct)
-        while g < n_groups:
-            limit = cuts[-1] + cap
-            # last group fully within [cuts[-1], limit)
-            h = int(np.searchsorted(ends, limit, side="right"))
-            if h <= g:  # single group larger than cap: take it alone
-                h = g + 1
-            cuts.append(int(ends[h - 1]))
-            g = h
-        C = len(cuts) - 1
-        caps = max(int(np.diff(cuts).max()), 1)
-        gcounts = []
-        ce = np.zeros((C, caps), np.int64)
-        cf = np.zeros((C, caps), np.int64)
-        for i in range(C):
-            a, b = cuts[i], cuts[i + 1]
-            ce[i, : b - a] = pair_e[a:b]
-            cf[i, : b - a] = pair_f[a:b]
-        # per-chunk groups
-        gidx = np.searchsorted(ends, np.array(cuts[1:]), side="right")
-        gstart = np.concatenate([[0], gidx[:-1]])
-        dmax = max(int((gidx - gstart).max()), 1)
-        cids = np.full((C, dmax), n_c * n_c, np.int64)
-        cst = np.zeros((C, dmax), np.int64)
-        cen = np.zeros((C, dmax), np.int64)
-        for i in range(C):
-            lo, hi = int(gstart[i]), int(gidx[i])
-            k = hi - lo
-            cids[i, :k] = distinct[lo:hi]
-            cst[i, :k] = starts[lo:hi] - cuts[i]
-            cen[i, :k] = ends[lo:hi] - cuts[i]
-        pair_e_dev = jnp.asarray(ce, jnp.int32)
-        pair_f_dev = jnp.asarray(cf, jnp.int32)
-        dist_dev = jnp.asarray(cids, jnp.int32)
-        st_dev = jnp.asarray(cst, jnp.int32)
-        en_dev = jnp.asarray(cen, jnp.int32)
+    grid = np.arange(n_c * n_c, dtype=np.int64)
+    if n_distinct:
+        pos = np.minimum(np.searchsorted(distinct, grid), n_distinct - 1)
+        sc_inv_map = np.where(distinct[pos] == grid, pos, n_distinct)
     else:
-        pair_e_dev = jnp.asarray(pair_e, jnp.int32)
-        pair_f_dev = jnp.asarray(pair_f, jnp.int32)
-        dist_dev = jnp.asarray(distinct, jnp.int32)
-        st_dev = jnp.asarray(starts, jnp.int32)
-        en_dev = jnp.asarray(ends, jnp.int32)
+        sc_inv_map = np.full(grid.shape, n_distinct, np.int64)
 
     return BASchurPlan(
         n_c=n_c,
         n_l=n_l,
         n_obs=m,
+        n_distinct=n_distinct,
         obs_cam=jnp.asarray(oc, jnp.int32),
         obs_lm=jnp.asarray(ol, jnp.int32),
         obs_uv=jnp.asarray(uv),
         obs_info=jnp.asarray(info),
-        lm_starts=jnp.asarray(lm_starts, jnp.int32),
-        lm_ends=jnp.asarray(lm_ends, jnp.int32),
-        cam_perm=jnp.asarray(cam_perm, jnp.int32),
-        cam_starts=jnp.asarray(cam_starts, jnp.int32),
-        cam_ends=jnp.asarray(cam_ends, jnp.int32),
-        pair_e=pair_e_dev,
-        pair_f=pair_f_dev,
-        pair_distinct_flat=dist_dev,
-        pair_starts=st_dev,
-        pair_ends=en_dev,
+        lm_grp=lm_grp,
+        cam_grp=cam_grp,
+        pair_e=jnp.asarray(np.concatenate([pair_e, [m]]), jnp.int32),
+        pair_f=jnp.asarray(np.concatenate([pair_f, [m]]), jnp.int32),
+        pair_grp=pair_grp,
+        sc_inv_map=jnp.asarray(sc_inv_map, jnp.int32),
         anchor_cam=int(anchor_cam),
         anchor_lm=int(anchor_lm),
-        chunked=bool(chunked),
     )
 
 
@@ -287,14 +253,6 @@ def _jacs_chunked(points, cam_states, uvs, chunk: int = 131072):
     return r, Jp, Jc
 
 
-def _segsum_last(data, starts, ends):
-    """Sorted segment sums over the LAST axis via exclusive prefix sums."""
-    cum0 = jnp.concatenate(
-        [jnp.zeros(data.shape[:-1] + (1,), data.dtype), jnp.cumsum(data, -1)], -1
-    )
-    return cum0[..., ends] - cum0[..., starts]
-
-
 def _inv3_last(D):
     """Closed-form batched 3x3 inverse for (3, 3, n) arrays (adjugate/det) —
     elementwise over the lane dim; TPU has no f64 LU and batch-first tiling
@@ -319,6 +277,50 @@ def _inv3_last(D):
     return jnp.stack([row0, row1, row2]) * inv_det
 
 
+def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000):
+    """Off-diagonal SC mass: for every distinct (cam_i, cam_j) block,
+    sum over landmark-sharing observation pairs of BD_e @ B_f^T.
+
+    BD2, B2: (18, m) flattened (6, 3, m) coupling arrays.  Returns
+    (36, n_distinct + 1) with a zero column at n_distinct.  Buckets of the
+    pair plan are processed with bounded-memory chunking: the (6, 6, rows,
+    cap) pair products are never materialized beyond ``max_chunk`` pairs.
+    """
+    zcol = jnp.zeros((18, 1), BD2.dtype)
+    BDp = jnp.concatenate([BD2, zcol], -1)
+    Bp = jnp.concatenate([B2, zcol], -1)
+    M2p = plan.pair_e.shape[0]  # M2 + 1 (dummy at M2)
+
+    out = jnp.zeros((36, plan.n_distinct + 1), BD2.dtype)
+
+    def rows_product(ix):
+        """ix: (rows, cap) pair ids -> (36, rows) reduced products."""
+        rows, cap = ix.shape
+        flat = ix.reshape(-1)
+        pe = plan.pair_e[flat]
+        pf = plan.pair_f[flat]
+        BDg = BDp[:, pe].reshape(6, 3, rows, cap)
+        Bg = Bp[:, pf].reshape(6, 3, rows, cap)
+        prod = jnp.sum(BDg[:, None] * Bg[None, :], axis=2)  # (6, 6, rows, cap)
+        return jnp.sum(prod, -1).reshape(36, rows)
+
+    for b in plan.pair_grp.buckets:
+        G, cap = b.idx.shape
+        rows_per_chunk = max(1, max_chunk // max(cap, 1))
+        if G > rows_per_chunk:
+            C = (G + rows_per_chunk - 1) // rows_per_chunk
+            padG = C * rows_per_chunk - G
+            idx = jnp.concatenate(
+                [b.idx, jnp.full((padG, cap), M2p - 1, b.idx.dtype)], 0
+            ).reshape(C, rows_per_chunk, cap)
+            red = lax.map(rows_product, idx)  # (C, 36, rows_per_chunk)
+            red = jnp.moveaxis(red, 0, -2).reshape(36, C * rows_per_chunk)[:, :G]
+        else:
+            red = rows_product(b.idx)
+        out = out.at[:, b.seg_ids].set(red)
+    return out
+
+
 def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bool = True):
     """One damped (LM) BA iteration without any dense Hessian.
 
@@ -328,7 +330,8 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     False uses the equilibrated f32 + refinement path.
 
     All per-observation arrays are BATCH-LAST (see _jacs_chunked) so Venice
-    scale (~1e6 observations) fits HBM under TPU tiling.
+    scale (~1e6 observations) fits HBM under TPU tiling; all segment
+    reductions are grouped padded gathers (ops/segments.py).
     """
     n_c = plan.n_c
     r, Jp, Jc = _jacs_chunked(
@@ -345,30 +348,27 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     WJc = jnp.sum(Wt[:, :, None, :] * Jc[None, :, :, :], axis=1)  # (2, 6, m)
     WJp = jnp.sum(Wt[:, :, None, :] * Jp[None, :, :, :], axis=1)  # (2, 3, m)
 
-    # landmark blocks + rhs (obs sorted by lm)
-    D = _segsum_last(
-        jnp.sum(Jp[:, :, None, :] * WJp[:, None, :, :], axis=0),
-        plan.lm_starts, plan.lm_ends,
-    )  # (3, 3, n_l)
-    g_l = _segsum_last(
-        jnp.sum(WJp * r[:, None, :], axis=0), plan.lm_starts, plan.lm_ends
+    # landmark blocks + rhs (obs sorted by lm; grouped reductions)
+    D = grouped_segsum_last(
+        jnp.sum(Jp[:, :, None, :] * WJp[:, None, :, :], axis=0).reshape(9, -1),
+        plan.lm_grp,
+    ).reshape(3, 3, plan.n_l)
+    g_l = grouped_segsum_last(
+        jnp.sum(WJp * r[:, None, :], axis=0), plan.lm_grp
     )  # (3, n_l)
     D = D + alpha * jnp.eye(3, dtype=D.dtype)[:, :, None]
     if plan.anchor_lm >= 0:
         D = D.at[:, :, plan.anchor_lm].add(jnp.eye(3, dtype=D.dtype))
     Dinv = _inv3_last(D)  # (3, 3, n_l)
 
-    # camera block-diagonal + rhs (via the camera-sorted permutation).
-    # Last-axis gathers of rank-3 arrays make XLA transpose to batch-first
-    # (whose (8,128)-tiled minors cost 20+ GB at this scale) — so every
-    # gather/permutation below runs on a 2-D (k, m) FLATTENED view.
+    # camera block-diagonal + rhs.  Last-axis gathers of rank-3 arrays make
+    # XLA transpose to batch-first (whose (8,128)-tiled minors cost 20+ GB at
+    # this scale) — so every gather below runs on a 2-D (k, m) FLATTENED view.
     m = r.shape[-1]
     Hcc_e = jnp.sum(Jc[:, :, None, :] * WJc[:, None, :, :], axis=0).reshape(36, m)
     gc_e = jnp.sum(WJc * r[:, None, :], axis=0)  # (6, m)
-    Hcc_diag = _segsum_last(
-        Hcc_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends
-    ).reshape(6, 6, n_c)
-    g_c = _segsum_last(gc_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends)  # (6, n_c)
+    Hcc_diag = grouped_segsum_last(Hcc_e, plan.cam_grp).reshape(6, 6, n_c)
+    g_c = grouped_segsum_last(gc_e, plan.cam_grp)  # (6, n_c)
 
     # couplings per observation
     Dinv_obs = Dinv.reshape(9, -1)[:, plan.obs_lm].reshape(3, 3, m)
@@ -377,49 +377,23 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     B2 = B.reshape(18, m)
     BD2 = BD.reshape(18, m)
 
-    # SC pair mass: P_ef = BD_e @ B_f^T, reduced per distinct (cam_i, cam_j),
-    # accumulated into a (6, 6, n_c^2 + 1) flat grid (last row = dummy)
-    SCf = jnp.zeros((6, 6, n_c * n_c + 1), BD.dtype)
-
-    def pair_reduce(SCf, pe, pf, ids, st, en):
-        BDg = BD2[:, pe].reshape(6, 3, pe.shape[-1])
-        Bg = B2[:, pf].reshape(6, 3, pf.shape[-1])
-        prod = jnp.sum(BDg[:, None, :, :] * Bg[None, :, :, :], axis=2)  # (6,6,cap)
-        red = _segsum_last(prod, st, en)
-        return SCf.at[:, :, ids].add(
-            -red, indices_are_sorted=True, unique_indices=True
-        )
-
-    if plan.chunked:
-        def body(SCf, ch):
-            pe, pf, ids, st, en = ch
-            return pair_reduce(SCf, pe, pf, ids, st, en), None
-
-        SCf, _ = lax.scan(
-            body, SCf,
-            (plan.pair_e, plan.pair_f, plan.pair_distinct_flat,
-             plan.pair_starts, plan.pair_ends),
-        )
-    else:
-        SCf = pair_reduce(
-            SCf, plan.pair_e, plan.pair_f, plan.pair_distinct_flat,
-            plan.pair_starts, plan.pair_ends,
-        )
+    # SC pair mass per distinct (cam_i, cam_j), placed by inverse-map gather
+    mass = _pair_sc_mass(plan, BD2, B2)  # (36, n_distinct + 1)
+    SCf = -mass[:, plan.sc_inv_map]  # (36, n_c*n_c)
     diag_ids = jnp.arange(n_c) * (n_c + 1)
     diag_add = Hcc_diag + alpha * jnp.eye(6, dtype=SCf.dtype)[:, :, None]
     if plan.anchor_cam >= 0:
         diag_add = diag_add.at[:, :, plan.anchor_cam].add(jnp.eye(6, dtype=SCf.dtype))
-    SCf = SCf.at[:, :, diag_ids].add(diag_add)
+    SCf = SCf.at[:, diag_ids].add(diag_add.reshape(36, n_c))
     SC = (
-        SCf[:, :, :-1]
-        .reshape(6, 6, n_c, n_c)
+        SCf.reshape(6, 6, n_c, n_c)
         .transpose(2, 0, 3, 1)
         .reshape(n_c * 6, n_c * 6)
     )
 
     # reduced rhs: g_c - sum_l U_l Dinv_l g_l  (per-obs contribution BD_e g_l)
     r2_e = jnp.sum(BD * g_l[:, plan.obs_lm][None, :, :], axis=1)  # (6, m)
-    r2 = _segsum_last(r2_e[:, plan.cam_perm], plan.cam_starts, plan.cam_ends)
+    r2 = grouped_segsum_last(r2_e, plan.cam_grp)
     rhs = -(g_c - r2).T.reshape(-1)
 
     if sc_f64:
@@ -450,7 +424,7 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     # landmark back-substitution: dx_l = Dinv (-g_l - sum_e B_e^T dx_c[cam_e])
     dxc_blocks = dx_c.reshape(n_c, 6)
     bt_e = jnp.sum(B * dxc_blocks.T[:, plan.obs_cam][:, None, :], axis=0)  # (3, m)
-    BT = _segsum_last(bt_e, plan.lm_starts, plan.lm_ends)  # (3, n_l)
+    BT = grouped_segsum_last(bt_e, plan.lm_grp)  # (3, n_l)
     dx_l = jnp.sum(Dinv * (-g_l - BT)[None, :, :], axis=1)  # (3, n_l)
 
     new_cams = jax.vmap(
@@ -463,6 +437,19 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     g_dot = jnp.sum(dxc_blocks.T * g_c) + jnp.sum(dx_l * g_l)
     denom = alpha * sq - g_dot
     return new_cams, new_lms, jnp.sqrt(sq), chi2, denom
+
+
+def ba_chi2_only(plan: BASchurPlan, cam_states, lm_states):
+    """Residual-only chi2 (no Jacobians, no SC) — used by the LM
+    accept/reject loop so a rejected step costs O(m) instead of a full
+    Schur solve (reference evaluates f_Chi_Squared_Error after the step,
+    NonlinearSolver_Lambda_LM.h:205-230)."""
+    r = jax.vmap(cam_geo.p2c_error, out_axes=-1)(
+        lm_states[plan.obs_lm], cam_states[plan.obs_cam], plan.obs_uv
+    )  # (2, m)
+    Wt = jnp.moveaxis(plan.obs_info, 0, -1)
+    Wr = jnp.sum(Wt * r[None, :, :], axis=1)
+    return jnp.sum(r * Wr)
 
 
 class BigBASolver:
@@ -482,13 +469,12 @@ class BigBASolver:
     @classmethod
     def from_arrays(cls, cam_states, lm_states, obs_cam, obs_lm, uv, info,
                     verbose: bool = False, tau: float = 1e-3,
-                    sc_f64: bool = False, pair_chunk: int = 2_000_000):
+                    sc_f64: bool = False):
         """Venice-scale constructor from raw observation arrays (no
         GraphSystem / parser in the loop)."""
         self = cls(system=None, verbose=verbose, tau=tau, sc_f64=sc_f64)
         self.plan = build_ba_schur_plan_arrays(
-            len(cam_states), len(lm_states), obs_cam, obs_lm, uv, info,
-            pair_chunk=pair_chunk,
+            len(cam_states), len(lm_states), obs_cam, obs_lm, uv, info
         )
         self._cams = jnp.asarray(cam_states)
         self._lms = jnp.asarray(lm_states)
@@ -498,6 +484,7 @@ class BigBASolver:
         if self._step is None:
             step = jax.jit(ba_schur_lm_step, static_argnames=("sc_f64",))
             self._step = lambda c, l, a: step(self.plan, c, l, a, sc_f64=self.sc_f64)
+            self._chi2_fn = jax.jit(ba_chi2_only)
 
     def _prepare(self):
         if self.plan is None:
@@ -516,15 +503,13 @@ class BigBASolver:
         # initial damping from the max Hessian diagonal (LM heuristic)
         alpha = self.tau * 1e3  # scale-free start; adapted by the gain ratio
         nu = 2.0
-        _, _, _, chi2, _ = self._step(cams, lms, alpha)
-        last_error = float(chi2)
+        last_error = float(self._chi2_fn(self.plan, cams, lms))
         applied = 0
         for it in range(max_iterations):
             nc, nl, dxn, chi2, denom = self._step(cams, lms, alpha)
             if not np.isfinite(float(dxn)) or float(dxn) <= min_dx_norm:
                 break
-            _, _, _, chi2_new, _ = self._step(nc, nl, alpha)
-            f_error = float(chi2_new)
+            f_error = float(self._chi2_fn(self.plan, nc, nl))
             rho = (last_error - f_error) / max(float(denom), 1e-300)
             if rho > 0:
                 alpha *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
@@ -551,5 +536,4 @@ class BigBASolver:
 
     def chi2(self) -> float:
         cam_ids, lm_ids, cams, lms = self._prepare()
-        _, _, _, chi2, _ = self._step(cams, lms, 0.0)
-        return float(chi2)
+        return float(self._chi2_fn(self.plan, cams, lms))

@@ -121,156 +121,21 @@ class PartitionedSolver:
                             pairs.add((b, a))
         pairs = sorted(pairs)
 
-        part = part_mod.partition_graph(n, pairs, target=self.target)
-        # permuted order: part interiors (contiguous), then separator
-        order = np.concatenate([*(part.parts or [np.zeros(0, np.int64)]), part.separator]).astype(np.int64)
-        inv = np.empty(n, np.int64)
-        inv[order] = np.arange(n)
-        n_int = n - len(part.separator)
+        vt_dims = {
+            get_vertex_type(t).dim for t, _ in system.vertex_index.values()
+        }
+        if len(vt_dims) != 1:
+            raise ValueError(f"uniform block size required, got dims {vt_dims}")
+        bs = vt_dims.pop()
 
-        # permuted off-diagonal pairs -> fine slot table
-        ppairs = sorted({(max(int(inv[i]), int(inv[j])), min(int(inv[i]), int(inv[j]))) for i, j in pairs})
-        slot_of = {(j, j): j for j in range(n)}
-        rows_l, cols_l = [], []
-        for k, (i, j) in enumerate(ppairs):
-            slot_of[(i, j)] = n + k
-            rows_l.append(i)
-            cols_l.append(j)
-        n_off = len(ppairs)
-        nnzb = n + n_off
-
+        plan, slot_of, inv = build_v3_geometry(n, pairs, bs, self.target)
         bp = block_assembly.build_block_plan(
-            system, slot_of, np.arange(n, dtype=np.int64), nnzb, inv,
+            system, slot_of, np.arange(n, dtype=np.int64), plan.nnzb, inv,
             block_of_vid, panel=1,
         )
+        assert bp.bs == bs
         self.block_plan = bp
-        bs = bp.bs
-
-        K = part.K
-        mB = part.max_interior
-        sB = max(1, part.max_boundary)
-        SB = len(part.separator)
-        M = _pad_to(mB * bs, dk.PB)
-        S = sB * bs
-        Ms = _pad_to(max(SB, 1) * bs, dk.PB)
-
-        ZERO = 2 * nnzb  # Gv rows: [vals | vals^T | zero]
-
-        def look(i, j):
-            """Gv row for block H_{ij} in permuted coords."""
-            if i == j:
-                return i
-            if i > j:
-                s = slot_of.get((i, j))
-                return s if s is not None else ZERO
-            s = slot_of.get((j, i))
-            return (nnzb + s) if s is not None else ZERO
-
-        # part frames
-        p0 = np.zeros(K, np.int64)
-        off = 0
-        for k, p in enumerate(part.parts):
-            p0[k] = off
-            off += len(p)
-        assert off == n_int
-
-        a_idx = np.full((K, mB, mB), ZERO, np.int64)
-        u_idx = np.full((K, mB, sB), ZERO, np.int64)
-        gk_idx = np.full((K, mB), n, np.int64)
-        xs_idx = np.full((K, sB), SB, np.int64)
-        a_pad_eye = np.zeros((K, M))
-        sep_rank = {int(b): r for r, b in enumerate(part.separator)}
-        for k, p in enumerate(part.parts):
-            m = len(p)
-            for a in range(m):
-                ia = int(p0[k] + a)
-                gk_idx[k, a] = ia
-                for b in range(m):
-                    a_idx[k, a, b] = look(ia, int(p0[k] + b))
-            a_pad_eye[k, m * bs :] = 1.0
-            bnd = part.boundary[k]
-            for c, sb_orig in enumerate(bnd):
-                r = sep_rank[int(sb_orig)]
-                xs_idx[k, c] = r
-                j = n_int + r
-                for a in range(m):
-                    u_idx[k, a, c] = look(int(p0[k] + a), j)
-
-        ss_idx = np.full((SB, SB), ZERO, np.int64)
-        gs_idx = np.zeros(max(SB, 1), np.int64)
-        for r in range(SB):
-            gs_idx[r] = n_int + r
-            for c in range(SB):
-                ss_idx[r, c] = look(n_int + r, n_int + c)
-        ss_pad_eye = np.zeros(Ms)
-        ss_pad_eye[SB * bs :] = 1.0
-
-        # SC contribution reduction: term t = (k, c, d) -> dest (xs_idx[k,c], xs_idx[k,d])
-        kk, cc, dd = np.meshgrid(np.arange(K), np.arange(sB), np.arange(sB), indexing="ij")
-        dr = xs_idx[kk, cc]
-        dc = xs_idx[kk, dd]
-        dest = np.where((dr < SB) & (dc < SB), dr * max(SB, 1) + dc, SB * SB + 1).ravel()
-        sc_perm = np.argsort(dest, kind="stable")
-        sdest = dest[sc_perm]
-        kept = int(np.searchsorted(sdest, SB * SB + 1))
-        uniq, starts = np.unique(sdest[:kept], return_index=True)
-        ends = np.concatenate([starts[1:], [kept]]).astype(np.int64) if len(uniq) else np.zeros(0, np.int64)
-        F2 = len(uniq)
-        grid_ids = np.arange(max(SB, 1) * max(SB, 1), dtype=np.int64)
-        if F2:
-            posg = np.minimum(np.searchsorted(uniq, grid_ids), F2 - 1)
-            sc_inv_map = np.where(uniq[posg] == grid_ids, posg, F2)
-        else:
-            sc_inv_map = np.full(grid_ids.shape, F2, np.int64)
-
-        # SC rhs contributions: term (k, c) -> dest xs_idx[k, c]
-        destr = np.where(xs_idx < SB, xs_idx, SB + 1).ravel()
-        scr_perm = np.argsort(destr, kind="stable")
-        sdr = destr[scr_perm]
-        keptr = int(np.searchsorted(sdr, SB + 1))
-        uniq_r, starts_r = np.unique(sdr[:keptr], return_index=True)
-        ends_r = np.concatenate([starts_r[1:], [keptr]]).astype(np.int64) if len(uniq_r) else np.zeros(0, np.int64)
-        Fr = len(uniq_r)
-        rid = np.arange(max(SB, 1), dtype=np.int64)
-        if Fr:
-            posr = np.minimum(np.searchsorted(uniq_r, rid), Fr - 1)
-            scr_inv_map = np.where(uniq_r[posr] == rid, posr, Fr)
-        else:
-            scr_inv_map = np.full(rid.shape, Fr, np.int64)
-
-        # solution gather: permuted fine p -> row in [x_int (K*mB) | xs (SB)]
-        sol = np.zeros(n, np.int64)
-        for k, p in enumerate(part.parts):
-            for a in range(len(p)):
-                sol[p0[k] + a] = k * mB + a
-        for r in range(SB):
-            sol[n_int + r] = K * mB + r
-
-        # spmv plan: terms = [all slots -> dest rows] + [offd slots -> dest cols]
-        rows_arr = np.concatenate([np.arange(n), np.asarray(rows_l, np.int64)])
-        cols_arr = np.concatenate([np.arange(n), np.asarray(cols_l, np.int64)])
-        mv_dest = np.concatenate([rows_arr, cols_arr[n:]])
-        mv_perm = np.argsort(mv_dest, kind="stable")
-        smv = mv_dest[mv_perm]
-        uniq_m, starts_m = np.unique(smv, return_index=True)
-        assert len(uniq_m) == n  # every row has a diagonal term
-        ends_m = np.concatenate([starts_m[1:], [len(smv)]]).astype(np.int64)
-
-        dev = lambda a: jnp.asarray(a, jnp.int32)
-        self.plan = V3Plan(
-            n=n, bs=bs, nnzb=nnzb, K=K, mB=mB, sB=sB, SB=SB, M=M, S=S, Ms=Ms,
-            rows=dev(rows_arr), cols=dev(cols_arr),
-            a_idx=dev(a_idx), u_idx=dev(u_idx), ss_idx=dev(ss_idx),
-            gk_idx=dev(gk_idx), gs_idx=dev(gs_idx),
-            a_pad_eye=jnp.asarray(a_pad_eye, jnp.float32),
-            ss_pad_eye=jnp.asarray(ss_pad_eye, jnp.float32),
-            sc_perm=dev(sc_perm), sc_starts=dev(starts), sc_ends=dev(ends),
-            sc_inv_map=dev(sc_inv_map),
-            scr_perm=dev(scr_perm), scr_starts=dev(starts_r), scr_ends=dev(ends_r),
-            scr_inv_map=dev(scr_inv_map),
-            xs_idx=dev(xs_idx), sol_gather=dev(sol),
-            mv_perm=dev(mv_perm), mv_starts=dev(starts_m), mv_ends=dev(ends_m),
-        )
+        self.plan = plan
         self._symbolic_key = (system.n_vertices, system.n_edges)
 
     def ensure_symbolic(self):
@@ -379,6 +244,166 @@ class PartitionedSolver:
             _step_cache[key] = fn
         return fn(graph, jnp.asarray(delta, jnp.float64),
                   jnp.asarray(relin_threshold, jnp.float64))
+
+
+def build_v3_geometry(n, pairs, bs: int, target: int = 64,
+                      max_sep_frac: float = 0.45):
+    """Build the partitioned-solver geometry for an arbitrary block-sparse
+    SPD system: ``n`` blocks of uniform size ``bs``, off-diagonal pattern
+    ``pairs`` (original block indices, orientation-free).
+
+    Returns ``(V3Plan, slot_of, inv)`` where ``inv`` maps original block ->
+    permuted fine position and ``slot_of`` maps PERMUTED ``(i, j)`` with
+    ``i >= j`` to the fine value slot (diag slot j at index j, off-diagonals
+    from ``n``).  Shared by :class:`PartitionedSolver` (graph systems) and
+    the general sparse Schur solver (linear/schur_sparse.py), playing the
+    role of the reference's symbolic decomposition
+    (LinearSolver_UberBlock.h:272)."""
+    part = part_mod.partition_graph(n, sorted(pairs), target=target,
+                                    max_sep_frac=max_sep_frac)
+    # permuted order: part interiors (contiguous), then separator
+    order = np.concatenate([*(part.parts or [np.zeros(0, np.int64)]), part.separator]).astype(np.int64)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    n_int = n - len(part.separator)
+
+    # permuted off-diagonal pairs -> fine slot table
+    ppairs = sorted({(max(int(inv[i]), int(inv[j])), min(int(inv[i]), int(inv[j]))) for i, j in pairs})
+    slot_of = {(j, j): j for j in range(n)}
+    rows_l, cols_l = [], []
+    for k, (i, j) in enumerate(ppairs):
+        slot_of[(i, j)] = n + k
+        rows_l.append(i)
+        cols_l.append(j)
+    n_off = len(ppairs)
+    nnzb = n + n_off
+
+    K = part.K
+    mB = part.max_interior
+    sB = max(1, part.max_boundary)
+    SB = len(part.separator)
+    M = _pad_to(mB * bs, dk.PB)
+    S = sB * bs
+    Ms = _pad_to(max(SB, 1) * bs, dk.PB)
+
+    ZERO = 2 * nnzb  # Gv rows: [vals | vals^T | zero]
+
+    def look(i, j):
+        """Gv row for block H_{ij} in permuted coords."""
+        if i == j:
+            return i
+        if i > j:
+            s = slot_of.get((i, j))
+            return s if s is not None else ZERO
+        s = slot_of.get((j, i))
+        return (nnzb + s) if s is not None else ZERO
+
+    # part frames
+    p0 = np.zeros(K, np.int64)
+    off = 0
+    for k, p in enumerate(part.parts):
+        p0[k] = off
+        off += len(p)
+    assert off == n_int
+
+    a_idx = np.full((K, mB, mB), ZERO, np.int64)
+    u_idx = np.full((K, mB, sB), ZERO, np.int64)
+    gk_idx = np.full((K, mB), n, np.int64)
+    xs_idx = np.full((K, sB), SB, np.int64)
+    a_pad_eye = np.zeros((K, M))
+    sep_rank = {int(b): r for r, b in enumerate(part.separator)}
+    for k, p in enumerate(part.parts):
+        m = len(p)
+        for a in range(m):
+            ia = int(p0[k] + a)
+            gk_idx[k, a] = ia
+            for b in range(m):
+                a_idx[k, a, b] = look(ia, int(p0[k] + b))
+        a_pad_eye[k, m * bs :] = 1.0
+        bnd = part.boundary[k]
+        for c, sb_orig in enumerate(bnd):
+            r = sep_rank[int(sb_orig)]
+            xs_idx[k, c] = r
+            j = n_int + r
+            for a in range(m):
+                u_idx[k, a, c] = look(int(p0[k] + a), j)
+
+    ss_idx = np.full((SB, SB), ZERO, np.int64)
+    gs_idx = np.zeros(max(SB, 1), np.int64)
+    for r in range(SB):
+        gs_idx[r] = n_int + r
+        for c in range(SB):
+            ss_idx[r, c] = look(n_int + r, n_int + c)
+    ss_pad_eye = np.zeros(Ms)
+    ss_pad_eye[SB * bs :] = 1.0
+
+    # SC contribution reduction: term t = (k, c, d) -> dest (xs_idx[k,c], xs_idx[k,d])
+    kk, cc, dd = np.meshgrid(np.arange(K), np.arange(sB), np.arange(sB), indexing="ij")
+    dr = xs_idx[kk, cc]
+    dc = xs_idx[kk, dd]
+    dest = np.where((dr < SB) & (dc < SB), dr * max(SB, 1) + dc, SB * SB + 1).ravel()
+    sc_perm = np.argsort(dest, kind="stable")
+    sdest = dest[sc_perm]
+    kept = int(np.searchsorted(sdest, SB * SB + 1))
+    uniq, starts = np.unique(sdest[:kept], return_index=True)
+    ends = np.concatenate([starts[1:], [kept]]).astype(np.int64) if len(uniq) else np.zeros(0, np.int64)
+    F2 = len(uniq)
+    grid_ids = np.arange(max(SB, 1) * max(SB, 1), dtype=np.int64)
+    if F2:
+        posg = np.minimum(np.searchsorted(uniq, grid_ids), F2 - 1)
+        sc_inv_map = np.where(uniq[posg] == grid_ids, posg, F2)
+    else:
+        sc_inv_map = np.full(grid_ids.shape, F2, np.int64)
+
+    # SC rhs contributions: term (k, c) -> dest xs_idx[k, c]
+    destr = np.where(xs_idx < SB, xs_idx, SB + 1).ravel()
+    scr_perm = np.argsort(destr, kind="stable")
+    sdr = destr[scr_perm]
+    keptr = int(np.searchsorted(sdr, SB + 1))
+    uniq_r, starts_r = np.unique(sdr[:keptr], return_index=True)
+    ends_r = np.concatenate([starts_r[1:], [keptr]]).astype(np.int64) if len(uniq_r) else np.zeros(0, np.int64)
+    Fr = len(uniq_r)
+    rid = np.arange(max(SB, 1), dtype=np.int64)
+    if Fr:
+        posr = np.minimum(np.searchsorted(uniq_r, rid), Fr - 1)
+        scr_inv_map = np.where(uniq_r[posr] == rid, posr, Fr)
+    else:
+        scr_inv_map = np.full(rid.shape, Fr, np.int64)
+
+    # solution gather: permuted fine p -> row in [x_int (K*mB) | xs (SB)]
+    sol = np.zeros(n, np.int64)
+    for k, p in enumerate(part.parts):
+        for a in range(len(p)):
+            sol[p0[k] + a] = k * mB + a
+    for r in range(SB):
+        sol[n_int + r] = K * mB + r
+
+    # spmv plan: terms = [all slots -> dest rows] + [offd slots -> dest cols]
+    rows_arr = np.concatenate([np.arange(n), np.asarray(rows_l, np.int64)])
+    cols_arr = np.concatenate([np.arange(n), np.asarray(cols_l, np.int64)])
+    mv_dest = np.concatenate([rows_arr, cols_arr[n:]])
+    mv_perm = np.argsort(mv_dest, kind="stable")
+    smv = mv_dest[mv_perm]
+    uniq_m, starts_m = np.unique(smv, return_index=True)
+    assert len(uniq_m) == n  # every row has a diagonal term
+    ends_m = np.concatenate([starts_m[1:], [len(smv)]]).astype(np.int64)
+
+    dev = lambda a: jnp.asarray(a, jnp.int32)
+    plan = V3Plan(
+        n=n, bs=bs, nnzb=nnzb, K=K, mB=mB, sB=sB, SB=SB, M=M, S=S, Ms=Ms,
+        rows=dev(rows_arr), cols=dev(cols_arr),
+        a_idx=dev(a_idx), u_idx=dev(u_idx), ss_idx=dev(ss_idx),
+        gk_idx=dev(gk_idx), gs_idx=dev(gs_idx),
+        a_pad_eye=jnp.asarray(a_pad_eye, jnp.float32),
+        ss_pad_eye=jnp.asarray(ss_pad_eye, jnp.float32),
+        sc_perm=dev(sc_perm), sc_starts=dev(starts), sc_ends=dev(ends),
+        sc_inv_map=dev(sc_inv_map),
+        scr_perm=dev(scr_perm), scr_starts=dev(starts_r), scr_ends=dev(ends_r),
+        scr_inv_map=dev(scr_inv_map),
+        xs_idx=dev(xs_idx), sol_gather=dev(sol),
+        mv_perm=dev(mv_perm), mv_starts=dev(starts_m), mv_ends=dev(ends_m),
+    )
+    return plan, slot_of, inv
 
 
 # --------------------------------------------------------------------- device
@@ -575,16 +600,20 @@ def _v3_fused(graph, bp, p, n_iters: int, refine: int, damping_rel: float,
     if fn is None:
 
         def impl(g):
-            chi0 = None
-            dxn = None
-            for _ in range(n_iters):
-                states, dxn, chi2 = _v3_gn_step_impl(g, bp, p, refine, damping_rel, mixed)
-                if chi0 is None:
-                    chi0 = chi2
-                g = g.replace_states(states)
+            # scan over iterations: ONE step is traced/compiled instead of
+            # n_iters copies (the unrolled build compiled 5 programs' worth
+            # of HLO -> minutes of XLA time)
+            def body(carry, _):
+                gc = g.replace_states(carry)
+                states, dxn, chi2 = _v3_gn_step_impl(gc, bp, p, refine, damping_rel, mixed)
+                return states, (dxn, chi2)
+
+            states, (dxns, chi2s) = jax.lax.scan(
+                body, g.states, None, length=n_iters
+            )
             from slampp_tpu.core.assembly import graph_chi2
 
-            return g.states, dxn, chi0, graph_chi2(g)
+            return states, dxns[-1], chi2s[0], graph_chi2(g.replace_states(states))
 
         fn = jax.jit(impl)
         _step_cache[key] = fn

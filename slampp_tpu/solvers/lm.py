@@ -86,8 +86,9 @@ class LevenbergMarquardtSolver:
         """``engine``: "dense" (assemble the full Hessian — small problems),
         "v3" (partitioned block-sparse engine, uniform block size — scales to
         arbitrarily long pose graphs without materializing H), or "big_ba"
-        (observation-driven Schur for cam/xyz BA — Venice scale; see
-        linear/ba_schur.BigBASolver, which the CLI auto-selects)."""
+        (observation-driven Schur for mono cam/xyz BA — Venice scale; see
+        linear/ba_schur.BigBASolver; the CLI auto-selects it for large mono
+        BA, apps/main.py)."""
         self.system = system
         self.use_schur = use_schur
         self.verbose = verbose
@@ -98,6 +99,7 @@ class LevenbergMarquardtSolver:
         self.n_iterations = 0
         self._schur_plan = None
         self._v3 = None
+        self._big = None
 
     def _v3_solver(self):
         if self._v3 is None:
@@ -121,6 +123,21 @@ class LevenbergMarquardtSolver:
     def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
         if self.system.n_edges == 0:
             return 0
+        if self.engine == "big_ba":
+            # observation-driven Schur LM (no dense Hessian at any point):
+            # the reference's default BA route -us at any scale
+            # (src/slam_app/Main.cpp:203-207 -> LinearSolver_Schur.h:1623)
+            from slampp_tpu.linear.ba_schur import BigBASolver
+
+            if self._big is None:
+                with self.timer.phase("big_ba_symbolic"):
+                    self._big = BigBASolver(
+                        self.system, verbose=self.verbose, tau=self.tau, sc_f64=False
+                    )
+            with self.timer.phase("solve"):
+                applied = self._big.optimize(max_iterations, min_dx_norm)
+            self.n_iterations += max_iterations
+            return applied
         graph = self.system.snapshot(pad=self.pad)
         alpha = self.tau * float(_max_edge_hessian_diag(graph))
         nu = 2.0

@@ -137,3 +137,37 @@ def test_mis_first_fit_is_independent_and_maximal():
     # maximal: every vertex outside the set has a neighbour inside
     outside = np.setdiff1d(np.arange(n), mis)
     assert all(dense[v, mis].any() for v in outside)
+
+
+def test_lm_engine_big_ba_and_cli_autoselect(tmp_path, monkeypatch):
+    """LM engine="big_ba" reaches the same optimum as the dense path, and the
+    CLI auto-routes large mono BA through it (no dense H ever assembled;
+    reference -us BA at any scale, Main.cpp:203-207)."""
+    system1 = _system(seed=7)
+    system2 = _system(seed=7)
+    lm_big = LevenbergMarquardtSolver(system1, engine="big_ba")
+    lm_big.optimize(10, 1e-6)
+    chi_big = lm_big.chi2()
+    assert lm_big._big is not None  # the engine actually ran
+
+    lm_dense = LevenbergMarquardtSolver(system2, use_schur=True)
+    lm_dense.optimize(10, 1e-6)
+    chi_dense = lm_dense.chi2()
+    assert abs(chi_big - chi_dense) < 0.05 * max(chi_dense, 1.0)
+
+    # CLI auto-select: set the threshold below this scene's edge count, fail
+    # hard if the dense assembly path is entered
+    from slampp_tpu.apps.main import main as cli_main
+    from slampp_tpu.core import assembly as asm
+
+    text, _ = make_ba_scene(n_cams=6, n_points=64, obs_per_point=4, seed=7)
+    g2o = tmp_path / "ba.g2o"
+    g2o.write_text(text)
+    monkeypatch.setenv("SLAMPP_BIGBA_THRESHOLD", "10")
+
+    def _boom(*a, **k):
+        raise AssertionError("dense Hessian assembled on the big_ba CLI path")
+
+    monkeypatch.setattr(asm, "assemble_dense", _boom)
+    rc = cli_main(["-i", str(g2o), "-ns", "-nb", "--json"])
+    assert rc == 0

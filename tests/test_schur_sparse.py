@@ -1,0 +1,115 @@
+"""General-graph sparse Schur solver (landmark elimination, no dense H)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slampp_tpu.core import assembly
+from slampp_tpu.io.datasets import make_city_trees
+from slampp_tpu.io.parser import build_system, parse_file
+from slampp_tpu.linear.schur_sparse import SparseSchurSolver
+
+
+def _system(n_poses=120, n_landmarks=40, seed=3, **kw):
+    text, _ = make_city_trees(n_poses=n_poses, n_landmarks=n_landmarks, seed=seed, **kw)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        return build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+
+def _dense_damped_dx(graph, alpha):
+    H, g, chi2 = assembly.assemble_dense(graph)
+    N = H.shape[0]
+    dx = jnp.linalg.solve(H + alpha * jnp.eye(N, dtype=H.dtype), -g)
+    return dx, chi2
+
+
+def test_sparse_schur_step_matches_dense_oracle():
+    system = _system()
+    graph = system.snapshot()
+    alpha = 1e-2
+
+    ss = SparseSchurSolver(system, mixed_precision=False, refine_iters=0)
+    new_states, denom, dxn, chi2 = ss.damped_step(graph, alpha)
+
+    dx_ref, chi2_ref = _dense_damped_dx(graph, alpha)
+    ref_states = assembly.apply_update(graph, dx_ref)
+
+    assert abs(float(chi2) - float(chi2_ref)) < 1e-9 * max(float(chi2_ref), 1.0)
+    for t in ref_states:
+        np.testing.assert_allclose(
+            np.asarray(new_states[t]), np.asarray(ref_states[t]), atol=1e-6,
+            err_msg=f"state mismatch for type {t}",
+        )
+
+
+def test_sparse_schur_mixed_precision_close():
+    """The f32+refinement path leaves the near-singular GAUGE mode inexact
+    (documented v3 property, linear/partitioned.py: _v3_solve_refined) — so
+    the contract is chi2-after-step parity, not raw state equality."""
+    system = _system(seed=9)
+    graph = system.snapshot()
+    ss = SparseSchurSolver(system, mixed_precision=True, refine_iters=2)
+    new_states, _, dxn, chi2 = ss.damped_step(graph, 1e-3)
+    dx_ref, _ = _dense_damped_dx(graph, 1e-3)
+    ref_states = assembly.apply_update(graph, dx_ref)
+    chi2_new = float(assembly.graph_chi2(graph.replace_states(new_states)))
+    chi2_ref = float(assembly.graph_chi2(graph.replace_states(ref_states)))
+    assert abs(chi2_new - chi2_ref) < 1e-4 * max(chi2_ref, 1.0)
+    dxn_ref = float(jnp.linalg.norm(dx_ref))
+    assert abs(float(dxn) - dxn_ref) < 5e-3 * max(dxn_ref, 1e-9)
+
+
+def test_sparse_schur_gn_converges():
+    system = _system(n_poses=200, n_landmarks=60, seed=5)
+    graph = system.snapshot()
+    ss = SparseSchurSolver(system, mixed_precision=False, refine_iters=0)
+    chi2_hist = []
+    for _ in range(5):
+        new_states, dxn, chi2 = ss.gn_step(graph)
+        chi2_hist.append(float(chi2))
+        graph = graph.replace_states(new_states)
+    final = float(assembly.graph_chi2(graph))
+    assert final < chi2_hist[0]
+    dof = system.chi2_dof()
+    assert final < 3.0 * dof
+
+
+def test_sparse_schur_no_dense_allocation():
+    """The solver must never materialize an (N, N) array (the verdict item:
+    -us on a big pose+landmark graph with no N^2 allocation).  Checked by
+    lowering the step and scanning the HLO for any tensor with
+    N*N (state_dim^2) elements."""
+    system = _system(n_poses=300, n_landmarks=90, seed=7)
+    graph = system.snapshot()
+    ss = SparseSchurSolver(system, mixed_precision=True, refine_iters=1)
+    ss.ensure_symbolic()
+    v3p = ss.v3_plan
+    fn = jax.jit(
+        lambda plan, lm_sort, inv_map, g, a: ss._step_impl(
+            plan, v3p, lm_sort, inv_map, g, a
+        )
+    )
+    lowered = fn.lower(
+        ss.plan, ss._lm_sort_dev, ss._inv_map, graph,
+        jnp.asarray(1e-3),
+    )
+    import re
+
+    N = graph.state_dim
+    txt = lowered.as_text()
+    worst = 0
+    for m in re.finditer(r"tensor<([0-9x]+)x?f(32|64)>", txt):
+        dims = [int(d) for d in m.group(1).split("x") if d]
+        size = int(np.prod(dims)) if dims else 1
+        worst = max(worst, size)
+    assert worst < N * N / 4, f"found a near-dense tensor ({worst} elems, N={N})"
