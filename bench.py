@@ -265,7 +265,9 @@ def bench_incremental():
     from slampp_tpu.solvers.incremental_windowed import WindowedIncrementalSolver
     import tempfile
 
-    n_poses = int(os.environ.get("BENCH_INC_POSES", "3500"))
+    # 800 poses keeps the driver bench bounded (~3500 every-vertex solves
+    # take tens of minutes on first compile); steps/sec is scale-normalized
+    n_poses = int(os.environ.get("BENCH_INC_POSES", "800"))
     text, _ = make_manhattan(n_poses=n_poses, loop_prob=0.1, seed=0)
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
         f.write(text)

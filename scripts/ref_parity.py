@@ -56,12 +56,13 @@ def eval_chi2_at(dataset, solution_txt):
     from slampp_tpu.core.assembly import graph_chi2
 
     system = build_system(parse_file(dataset))
-    sol = np.loadtxt(solution_txt)
-    if sol.ndim == 1:
-        sol = sol[None]
-    for vid in range(sol.shape[0]):
+    # rows have per-vertex widths (3-col poses, 2-col landmarks, ...) — read
+    # line by line rather than as a rectangular array
+    with open(solution_txt) as f:
+        rows = [np.array([float(x) for x in ln.split()]) for ln in f if ln.strip()]
+    for vid, st in enumerate(rows):
         try:
-            system.set_vertex_state(vid, sol[vid])
+            system.set_vertex_state(vid, st)
         except Exception:
             pass
     return float(jax.jit(graph_chi2)(system.snapshot()))
@@ -78,18 +79,19 @@ def main():
         return 2
 
     from slampp_tpu.io.datasets import (
-        make_ba_scene, make_manhattan, make_rocv, make_spheron, make_sphere,
+        make_ba_scene, make_city_trees, make_manhattan, make_rocv,
+        make_sphere, make_sphere_landmarks, make_spheron,
     )
 
     cases = []
 
-    def add(name, text, ref_extra, our_extra):
+    def add(name, text, ref_extra, our_extra, batch_check=None):
         f = tempfile.NamedTemporaryFile(
             "w", suffix=".txt", prefix=name + "_", delete=False
         )
         f.write(text)
         f.close()
-        cases.append((name, f.name, ref_extra, our_extra))
+        cases.append((name, f.name, ref_extra, our_extra, batch_check))
 
     t, _ = make_manhattan(n_poses=300, loop_prob=0.1, seed=0)
     add("manhattan300_batch_po", t, ["-po"], ["-po"])
@@ -110,10 +112,24 @@ def main():
     # incremental mode parity (every-vertex nonlinear solve)
     t, _ = make_manhattan(n_poses=200, loop_prob=0.1, seed=3)
     add("manhattan200_incr_nsp1", t, ["-po", "-nsp", "1"], ["-po", "-nsp", "1"])
+    # SE(2) pose+landmark graphs (cityTrees10k / victoria-park class)
+    t, _ = make_city_trees(n_poses=400, n_landmarks=100, seed=0, obs_kind="rb")
+    add("citytrees400_batch", t, [], [])
+    t, _ = make_city_trees(n_poses=400, n_landmarks=100, seed=1, obs_kind="rb")
+    add("citytrees400_schur", t, ["-us"], ["-us"])
+    # SE(3) pose+landmark
+    t, _ = make_sphere_landmarks(n_poses=200, n_rings=8, n_landmarks=60, seed=0)
+    add("sphere200_lm3d_batch", t, [], [])
+    # fastL incremental (reference -fL; our windowed engine fills that role)
+    t, _ = make_manhattan(n_poses=200, loop_prob=0.1, seed=4)
+    add("manhattan200_incr_fastL", t, ["-po", "-fL", "-nsp", "1"],
+        ["-po", "-nls", "fastL", "-nsp", "1"], batch_check=["-po"])
+    t, _ = make_city_trees(n_poses=250, n_landmarks=60, seed=2, obs_kind="rb")
+    add("citytrees250_incr_nsp1", t, ["-nsp", "1"], ["-nsp", "1"])
 
     rows = []
     failed = 0
-    for name, path, ref_extra, our_extra in cases:
+    for name, path, ref_extra, our_extra, batch_check in cases:
         workdir = tempfile.mkdtemp(prefix="refrun_")
         try:
             ref_chi2, ref_iters = run_ref(args.ref, path, ref_extra, workdir)
@@ -141,6 +157,21 @@ def main():
                 if same_model and our_chi2 <= ref_chi2 * (1 + args.rtol):
                     ok = True
                     status = f"ok (better optimum; chi2@ref_sol={chi2_at_ref:.2f})"
+        if not ok and batch_check is not None and our_chi2 <= ref_chi2 * (1 + args.rtol):
+            # incremental schedules are implementation-defined (BASELINE.md
+            # contract note); validate the MODEL via batch parity on the same
+            # file and accept a lower final chi2.  (The reference's -fL also
+            # dumps a solution whose recomputed chi2 differs from its printed
+            # value — threshold-gated vertex updates, NonlinearSolver_FastL.h.)
+            try:
+                ref_b, _ = run_ref(args.ref, path, batch_check, workdir)
+                our_b = run_ours(path, batch_check)
+                if abs(our_b - ref_b) / max(abs(ref_b), 1.0) <= args.rtol:
+                    ok = True
+                    status = (f"ok (lower final chi2; batch parity "
+                              f"{our_b:.2f}=={ref_b:.2f})")
+            except Exception:
+                pass
         failed += 0 if ok else 1
         rows.append((name, ref_chi2, our_chi2, status))
         print(f"[{'ok' if ok else 'FAIL'}] {name}: ref={ref_chi2:.4f} ours={our_chi2:.4f} ({status})")

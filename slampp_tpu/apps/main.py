@@ -30,8 +30,9 @@ def build_arg_parser():
         "-nls",
         "--nonlinear-solver",
         default="lambda",
-        choices=["lambda", "lambda-lm", "lambda-dl", "A", "L", "fastL"],
-        help="nonlinear solver (-A/-L/-fL map to the lambda family on TPU)",
+        choices=["lambda", "lambda-lm", "lambda-dl", "A", "L", "fastL", "spcg"],
+        help="nonlinear solver (-A/-L/-fL map to the lambda family on TPU; "
+        "spcg = spanning-tree-preconditioned CG, NonlinearSolver_SPCG.h)",
     )
     p.add_argument("-po", "--pose-only", action="store_true", help="pose-only mode")
     p.add_argument("-us", "--use-schur", action="store_true", help="Schur complement solve")
@@ -80,7 +81,7 @@ def main(argv=None):
     is_ba = problem.startswith("ba")
 
     solver_kind = args.nonlinear_solver
-    if solver_kind in ("lambda", "A", "L", "fastL") and is_ba:
+    if solver_kind in ("lambda", "A", "L", "fastL", "spcg") and is_ba:
         # the reference auto-upgrades lambda to LM for BA (Main.cpp:203-207)
         solver_kind = "lambda-lm"
     use_schur = args.use_schur or is_ba
@@ -162,6 +163,12 @@ def main(argv=None):
             )
         elif solver_kind == "lambda-dl":
             solver = DoglegSolver(system, verbose=args.verbose)
+        elif solver_kind == "spcg":
+            # subgraph (spanning-tree) preconditioned CG (reference
+            # CNonlinearSolver_SPCG, NonlinearSolver_SPCG.h:61)
+            from slampp_tpu.linear.spcg import SPCGSolver
+
+            solver = SPCGSolver(system, verbose=args.verbose)
         elif solver_kind == "A":
             # the A (Jacobian) solver — normal equations from the exported A
             # (reference CNonlinearSolver_A, NonlinearSolver_A.h:314)

@@ -90,19 +90,15 @@ class BlockPlan:
     # (n,) diag slot per panel + (n, P) 1.0 where the panel scalar is unused
     panel_diag_slots: jnp.ndarray
     panel_diag_reg: jnp.ndarray
-    # ---- sorted (scatter-free) assembly arrays; see assemble_blocks_sorted.
-    # host-fixed gather permutation over the concatenated per-type Hessian
-    # contribution terms, segment boundaries into the permuted cumsum, and
-    # the inverse map that places reduced fine (bs x bs) blocks into the
-    # (nnzb, panel, panel) cell grid of the packed panel array.
+    # ---- sorted (scatter-free) assembly routing; see assemble_blocks_sorted.
+    # GROUPED padded-gather reduction plans over the concatenated per-type
+    # contribution terms (ops/segments.py — measured far cheaper to compile
+    # and faster to run than the earlier prefix-sum formulation), and the
+    # inverse maps that place reduced fine blocks into the packed panel grid.
     type_order: Tuple = ()
-    asm_perm: Optional[jnp.ndarray] = None  # (T,)
-    asm_starts: Optional[jnp.ndarray] = None  # (F,)
-    asm_ends: Optional[jnp.ndarray] = None  # (F,)
+    asm_grp: Optional[object] = None  # GroupedSegments over T terms -> F
     asm_inv_map: Optional[jnp.ndarray] = None  # (nnzb*pn*pn,) in [0..F]
-    rhs_perm: Optional[jnp.ndarray] = None  # (Tr,)
-    rhs_starts: Optional[jnp.ndarray] = None  # (Fr,)
-    rhs_ends: Optional[jnp.ndarray] = None  # (Fr,)
+    rhs_grp: Optional[object] = None  # GroupedSegments over Tr terms -> Fr
     rhs_inv_map: Optional[jnp.ndarray] = None  # (n*pn,) in [0..Fr]
 
     def tree_flatten(self):
@@ -112,8 +108,8 @@ class BlockPlan:
             self.dx_offsets,
             self.panel_diag_slots,
             self.panel_diag_reg,
-            self.asm_perm, self.asm_starts, self.asm_ends, self.asm_inv_map,
-            self.rhs_perm, self.rhs_starts, self.rhs_ends, self.rhs_inv_map,
+            self.asm_grp, self.asm_inv_map,
+            self.rhs_grp, self.rhs_inv_map,
         )
         aux = (
             tuple(keys), self.n, self.bs, self.P, self.nnzb,
@@ -133,9 +129,8 @@ class BlockPlan:
             dx_offsets=children[1], state_dim=sd,
             panel_diag_slots=children[2], panel_diag_reg=children[3],
             type_order=torder,
-            asm_perm=children[4], asm_starts=children[5], asm_ends=children[6],
-            asm_inv_map=children[7], rhs_perm=children[8], rhs_starts=children[9],
-            rhs_ends=children[10], rhs_inv_map=children[11],
+            asm_grp=children[4], asm_inv_map=children[5],
+            rhs_grp=children[6], rhs_inv_map=children[7],
         )
 
 
@@ -147,9 +142,15 @@ def build_block_plan(
     inv_order: np.ndarray,
     block_of_vid: Dict[int, int],
     panel: int = 1,
+    edge_mask: Optional[Dict[str, np.ndarray]] = None,
 ) -> BlockPlan:
     """Build edge->(slot, offsets) routing given the PANEL-granularity
     symbolic factor's slot table.
+
+    ``edge_mask`` (per-type boolean arrays) routes masked-OUT edges'
+    contributions to the dummy slot — used to assemble SUBGRAPH systems
+    (e.g. the SPCG spanning-tree preconditioner, linear/spcg.py) from the
+    same GraphArrays without touching the numeric phase.
 
     ``block_of_vid`` maps vertex dataset id -> original fine block index;
     ``inv_order`` maps original fine block -> permuted fine position; the
@@ -198,7 +199,10 @@ def build_block_plan(
         fd_diag = np.full((E, arity), SENT, np.int64)
         fd_pair = np.full((E, len(pairs)), SENT, np.int64)
         fd_rhs = np.full((E, arity), NF, np.int64)
+        mask_t = edge_mask.get(tname) if edge_mask is not None else None
         for e, vids in enumerate(rec["vids"]):
+            if mask_t is not None and not mask_t[e]:
+                continue  # dropped edge: every destination stays at dummy
             locs = []
             for s, vid in enumerate(vids):
                 if vid in block_of_vid:
@@ -343,14 +347,31 @@ def build_block_plan(
         panel_diag_slots=jnp.asarray(diag_slot, jnp.int32),
         panel_diag_reg=jnp.asarray(reg),
         type_order=tuple(system.edge_type_names),
-        asm_perm=jnp.asarray(asm_order, jnp.int32),
-        asm_starts=jnp.asarray(starts, jnp.int32),
-        asm_ends=jnp.asarray(ends, jnp.int32),
+        asm_grp=_remapped_group_plan(starts, ends, asm_order),
         asm_inv_map=jnp.asarray(inv_map, jnp.int32),
-        rhs_perm=jnp.asarray(r_order, jnp.int32),
-        rhs_starts=jnp.asarray(starts_r, jnp.int32),
-        rhs_ends=jnp.asarray(ends_r, jnp.int32),
+        rhs_grp=_remapped_group_plan(starts_r, ends_r, r_order),
         rhs_inv_map=jnp.asarray(rhs_inv_map, jnp.int32),
+    )
+
+
+def _remapped_group_plan(starts, ends, order):
+    """Grouped-segment plan whose index rows point DIRECTLY at the
+    unpermuted term array: segment [starts, ends) positions in the sorted
+    order are remapped through ``order`` (dummy -> T)."""
+    from slampp_tpu.ops.segments import GroupBucket, GroupedSegments, plan_grouped_segments
+
+    T = len(order)
+    grp = plan_grouped_segments(starts, ends, T)
+    order_pad = np.concatenate([np.asarray(order, np.int64), [T]])
+    return GroupedSegments(
+        m=T, n_seg=grp.n_seg,
+        buckets=tuple(
+            GroupBucket(
+                seg_ids=b.seg_ids,
+                idx=jnp.asarray(order_pad[np.asarray(b.idx)], jnp.int32),
+            )
+            for b in grp.buckets
+        ),
     )
 
 
@@ -499,24 +520,29 @@ def assemble_blocks_sorted(graph: GraphArrays, bp: BlockPlan,
         rchunks.extend(gv)
         chi2 = chi2 + c2
 
-    G = jnp.concatenate(hchunks, 0)[bp.asm_perm]
+    from slampp_tpu.ops.segments import grouped_segsum_last
+
+    G = jnp.concatenate(hchunks, 0)  # (T, bs, bs) unpermuted term order
     hdt = G.dtype
-    cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), hdt), jnp.cumsum(G, 0)], 0)
-    fine = cum0[bp.asm_ends] - cum0[bp.asm_starts]  # (F, bs, bs)
-    finep = jnp.concatenate([fine, jnp.zeros((1, bs, bs), hdt)], 0)
+    # batch-LAST (bs*bs, T) layout: minor dim is the long one, so the TPU
+    # tiling pads ~1.8x instead of 42x for (T, 3, 3)
+    Gl = G.reshape(G.shape[0], bs * bs).T
+    red = grouped_segsum_last(Gl, bp.asm_grp)  # (bs*bs, F)
+    redp = jnp.concatenate(
+        [red, jnp.zeros((bs * bs, 1), hdt)], -1
+    )
     vals = (
-        finep[bp.asm_inv_map]
-        .reshape(bp.nnzb, pn, pn, bs, bs)
-        .transpose(0, 1, 3, 2, 4)
+        redp[:, bp.asm_inv_map]
+        .reshape(bs, bs, bp.nnzb, pn, pn)
+        .transpose(2, 3, 0, 4, 1)
         .reshape(bp.nnzb, P, P)
     )
     vals = jnp.concatenate([vals, jnp.zeros((1, P, P), hdt)], 0)
 
-    Gr = jnp.concatenate(rchunks, 0)[bp.rhs_perm]
-    cum0r = jnp.concatenate([jnp.zeros((1, bs), Gr.dtype), jnp.cumsum(Gr, 0)], 0)
-    fine_r = cum0r[bp.rhs_ends] - cum0r[bp.rhs_starts]
-    fine_rp = jnp.concatenate([fine_r, jnp.zeros((1, bs), Gr.dtype)], 0)
-    rhs = fine_rp[bp.rhs_inv_map].reshape(bp.n, P)
+    Gr = jnp.concatenate(rchunks, 0).T  # (bs, Tr)
+    red_r = grouped_segsum_last(Gr, bp.rhs_grp)  # (bs, Fr)
+    red_rp = jnp.concatenate([red_r, jnp.zeros((bs, 1), Gr.dtype)], -1)
+    rhs = red_rp[:, bp.rhs_inv_map].T.reshape(bp.n, P)
     rhs = jnp.concatenate([rhs, jnp.zeros((1, P), dtype)], 0)
 
     if bp.anchor_diag_slot < bp.nnzb:

@@ -265,3 +265,134 @@ def homography_dlt(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
     _, _, Vt = np.linalg.svd(np.asarray(A, float))
     H = Vt[-1].reshape(3, 3)
     return H / H[2, 2]
+
+
+# ------------------------------------------------------------ 5-point essential
+
+# monomial ordering for the Stewenius action-matrix method: 10 cubic
+# monomials first, then the quotient-ring basis [x^2 xy xz y^2 yz z^2 x y z 1]
+_MONO_IDX = {
+    (3, 0, 0): 0, (2, 1, 0): 1, (2, 0, 1): 2, (1, 2, 0): 3, (1, 1, 1): 4,
+    (1, 0, 2): 5, (0, 3, 0): 6, (0, 2, 1): 7, (0, 1, 2): 8, (0, 0, 3): 9,
+    (2, 0, 0): 10, (1, 1, 0): 11, (1, 0, 1): 12, (0, 2, 0): 13,
+    (0, 1, 1): 14, (0, 0, 2): 15, (1, 0, 0): 16, (0, 1, 0): 17,
+    (0, 0, 1): 18, (0, 0, 0): 19,
+}
+
+
+def _pmul(p, q):
+    """Multiply sparse polynomials {exponent_tuple: coeff} in (x, y, z)."""
+    out = {}
+    for ea, ca in p.items():
+        for eb, cb in q.items():
+            e = (ea[0] + eb[0], ea[1] + eb[1], ea[2] + eb[2])
+            out[e] = out.get(e, 0.0) + ca * cb
+    return out
+
+
+def _padd(*ps):
+    out = {}
+    for p in ps:
+        for e, c in p.items():
+            out[e] = out.get(e, 0.0) + c
+    return out
+
+
+def _pscale(p, s):
+    return {e: c * s for e, c in p.items()}
+
+
+def essential_5pt(x1: np.ndarray, x2: np.ndarray) -> list:
+    """Nister/Stewenius 5-point essential matrix solver.
+
+    ``x1``, ``x2``: (5, 2) NORMALIZED image coordinates (K^-1 applied) of
+    corresponding points in the two views.  Returns a list of up to 10 real
+    essential matrix candidates (unit Frobenius norm), satisfying
+    x2h^T E x1h = 0, det(E) = 0, and 2 E E^T E - tr(E E^T) E = 0.
+
+    Capability parity with the reference's Grobner-basis two-view solver
+    (include/geometry/TwoView.h:51, CFivePoint_EssentialSolver_Grobner);
+    the implementation here is the standard action-matrix construction.
+    """
+    x1h = np.concatenate([x1, np.ones((5, 1))], axis=1)
+    x2h = np.concatenate([x2, np.ones((5, 1))], axis=1)
+    Q = np.stack([np.kron(x2h[i], x1h[i]) for i in range(5)])  # (5, 9)
+    _, _, Vt = np.linalg.svd(Q)
+    basisE = Vt[-4:][::-1]  # X, Y, Z, W rows (9,) each
+    X, Y, Z, W = (b.reshape(3, 3) for b in basisE)
+
+    # symbolic E(x, y, z) = x X + y Y + z Z + W; entries are degree-1 polys
+    Ep = [[{(1, 0, 0): X[i, j], (0, 1, 0): Y[i, j],
+            (0, 0, 1): Z[i, j], (0, 0, 0): W[i, j]} for j in range(3)]
+          for i in range(3)]
+
+    def pe(i, j):
+        return Ep[i][j]
+
+    # det(E) = 0
+    det = _padd(
+        _pmul(pe(0, 0), _padd(_pmul(pe(1, 1), pe(2, 2)), _pscale(_pmul(pe(1, 2), pe(2, 1)), -1.0))),
+        _pscale(_pmul(pe(0, 1), _padd(_pmul(pe(1, 0), pe(2, 2)), _pscale(_pmul(pe(1, 2), pe(2, 0)), -1.0))), -1.0),
+        _pmul(pe(0, 2), _padd(_pmul(pe(1, 0), pe(2, 1)), _pscale(_pmul(pe(1, 1), pe(2, 0)), -1.0))),
+    )
+
+    # trace constraint: 2 E E^T E - tr(E E^T) E = 0 (9 cubic equations)
+    EEt = [[_padd(*[_pmul(pe(i, k), pe(j, k)) for k in range(3)])
+            for j in range(3)] for i in range(3)]
+    tr = _padd(EEt[0][0], EEt[1][1], EEt[2][2])
+    eqs = [det]
+    for i in range(3):
+        for j in range(3):
+            term = _padd(*[_pmul(EEt[i][k], pe(k, j)) for k in range(3)])
+            eqs.append(_padd(_pscale(term, 2.0), _pscale(_pmul(tr, pe(i, j)), -1.0)))
+
+    A = np.zeros((10, 20))
+    for r, eq in enumerate(eqs):
+        for e, c in eq.items():
+            A[r, _MONO_IDX[e]] = c
+
+    # Gauss-Jordan: A -> [I | M]
+    try:
+        M = np.linalg.solve(A[:, :10], A[:, 10:])
+    except np.linalg.LinAlgError:
+        return []
+
+    # action matrix for multiplication by x on the quotient-ring basis
+    At = np.zeros((10, 10))
+    At[0:6] = -M[0:6]  # x*(x^2, xy, xz, y^2, yz, z^2) are cubic monomials
+    At[6, 0] = 1.0  # x*x = x^2
+    At[7, 1] = 1.0  # x*y = xy
+    At[8, 2] = 1.0  # x*z = xz
+    At[9, 6] = 1.0  # x*1 = x
+    evals, evecs = np.linalg.eig(At)
+
+    out = []
+    for k in range(10):
+        if abs(evals[k].imag) > 1e-8:
+            continue
+        v = evecs[:, k].real
+        if abs(v[9]) < 1e-12:
+            continue
+        x, y, z = v[6] / v[9], v[7] / v[9], v[8] / v[9]
+        E = x * X + y * Y + z * Z + W
+        n = np.linalg.norm(E)
+        if n > 1e-12 and np.isfinite(n):
+            out.append(E / n)
+    return out
+
+
+def structure_average(observations: np.ndarray) -> np.ndarray:
+    """Average rigid 3D structure from multiple complete observations.
+
+    ``observations``: (n_obs, n_points, 3) — each observation is the same
+    rigid point structure in its own coordinate frame.  Kabsch-aligns every
+    observation to the first and averages (reference
+    include/geometry/StructAverage.h: CAverage_RigidStructure::Calculate).
+    """
+    obs = np.asarray(observations, float)
+    n_obs = obs.shape[0]
+    acc = obs[0].copy()
+    for i in range(1, n_obs):
+        R, t, _ = _kabsch_rt(obs[i], obs[0])
+        acc += obs[i] @ R.T + t
+    return acc / n_obs

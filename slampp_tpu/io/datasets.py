@@ -363,29 +363,32 @@ def make_rocv(n_steps: int = 30, n_transmitters: int = 4, seed: int = 0):
     rng = np.random.default_rng(seed)
     tx = rng.normal(0, 10, (n_transmitters, 3))
     lines = []
+    # incremental vertex ids (the reference parser contract): transmitters
+    # 0..T-1, receivers T+k
     for t_ in range(n_transmitters):
         lines.append(
             "ROCV:TRANSMITTER %d %.6f %.6f %.6f"
-            % (1000 + t_, *(tx[t_] + rng.normal(0, 0.1, 3)))
+            % (t_, *(tx[t_] + rng.normal(0, 0.1, 3)))
         )
-        lines.append("ROCV:TRANSMITTER_UF %d 1 0 0 1 0 1" % (1000 + t_))
+        lines.append("ROCV:TRANSMITTER_UF %d 1 0 0 1 0 1" % (t_,))
     pos = np.zeros(3)
     vel = np.array([1.0, 0.5, 0.0])
     info21 = [100, 0, 0, 0, 0, 0, 100, 0, 0, 0, 0, 100, 0, 0, 0, 100, 0, 0, 100, 0, 100]
+    T = n_transmitters
     for k in range(n_steps):
         p = pos + vel * k
         lines.append(
             "ROCV:RECEIVER %d %.6f %.6f %.6f %.6f %.6f %.6f"
-            % (k, *(p + rng.normal(0, 0.05, 3)), *vel)
+            % (T + k, *(p + rng.normal(0, 0.05, 3)), *vel)
         )
         if k > 0:
             lines.append(
                 "ROCV:DELTA_TIME %d %d 1.0 %s"
-                % (k - 1, k, " ".join(map(str, info21)))
+                % (T + k - 1, T + k, " ".join(map(str, info21)))
             )
         for t_ in range(n_transmitters):
             r = np.linalg.norm(p - tx[t_]) + rng.normal(0, 0.02)
-            lines.append("ROCV:RANGE %d %d %.6f 2500" % (k, 1000 + t_, r))
+            lines.append("ROCV:RANGE %d %d %.6f 2500" % (T + k, t_, r))
     return "\n".join(lines) + "\n", tx
 
 
@@ -436,6 +439,7 @@ def make_city_trees(
     lm_noise: float = 0.05,
     seed: int = 0,
     loop_prob: float = 0.05,
+    obs_kind: str = "xy",
 ):
     """cityTrees10k-class SE(2) pose+landmark graph: a Manhattan-style
     trajectory observing scattered XY landmarks (EDGE2 odometry +
@@ -478,20 +482,77 @@ def make_city_trees(
                     "EDGE2 %d %d %.9f %.9f %.9f %.6f %.6f %.6f %.6f %.6f %.6f"
                     % (j, i, *rel, *info6)
                 )
-    n_obs_of = np.zeros(n_landmarks, np.int64)
+    # landmark dataset ids are assigned in FIRST-APPEARANCE order (the
+    # reference parser requires vertices to appear in incremental id order,
+    # FlatSystem "vertices must be accessed in incremental manner")
+    lm_id = {}
     for i in range(n_poses):
         d2 = np.sum((lms - gt[i, :2]) ** 2, axis=1)
         near = np.flatnonzero(d2 < obs_radius**2)
         rng.shuffle(near)
         for l in near[:max_obs_per_pose]:
+            if l not in lm_id:
+                lm_id[l] = n_poses + len(lm_id)
             de, dn = lms[l, 0] - gt[i, 0], lms[l, 1] - gt[i, 1]
             c, s = np.cos(gt[i, 2]), np.sin(gt[i, 2])
-            z = np.array([c * de + s * dn, -s * de + c * dn])
-            z += rng.normal(0, lm_noise, 2)
-            lines.append(
-                "LANDMARK2:XY %d %d %.9f %.9f %.6f 0.0 %.6f"
-                % (i, n_poses + l, z[0], z[1], info_lm, info_lm)
-            )
-            n_obs_of[l] += 1
+            if obs_kind == "xy":
+                z = np.array([c * de + s * dn, -s * de + c * dn])
+                z += rng.normal(0, lm_noise, 2)
+                lines.append(
+                    "LANDMARK2:XY %d %d %.9f %.9f %.6f 0.0 %.6f"
+                    % (i, lm_id[l], z[0], z[1], info_lm, info_lm)
+                )
+            else:  # range-bearing (the reference-native 2D landmark edge)
+                rb = np.array([np.hypot(de, dn), np.arctan2(dn, de) - gt[i, 2]])
+                rb[0] += rng.normal(0, lm_noise)
+                rb[1] += rng.normal(0, lm_noise * 0.2)
+                rb[1] = (rb[1] + np.pi) % (2 * np.pi) - np.pi
+                lines.append(
+                    "LANDMARK2:RB %d %d %.9f %.9f %.6f 0.0 %.6f"
+                    % (i, lm_id[l], rb[0], rb[1], 1.0 / lm_noise**2,
+                       1.0 / (lm_noise * 0.2) ** 2)
+                )
     # landmarks with zero observations simply never appear in the file
+    return "\n".join(lines) + "\n", (gt, lms)
+
+
+def make_sphere_landmarks(
+    n_poses: int = 300,
+    n_rings: int = 10,
+    n_landmarks: int = 80,
+    radius: float = 20.0,
+    trans_noise: float = 0.05,
+    rot_noise: float = 0.02,
+    lm_noise: float = 0.05,
+    obs_radius: float = 12.0,
+    max_obs_per_pose: int = 3,
+    seed: int = 0,
+):
+    """SE(3) pose graph + XYZ landmarks (victoria-park-in-3D class): the
+    sphere trajectory observing scattered points via LANDMARK3:XYZ edges.
+    Returns (g2o_text, (gt_poses, gt_landmarks))."""
+    text, gt = make_sphere(
+        n_poses=n_poses, n_rings=n_rings, radius=radius,
+        trans_noise=trans_noise, rot_noise=rot_noise, seed=seed,
+    )
+    rng = np.random.default_rng(seed + 1)
+    lms = rng.normal(0, radius * 0.6, (n_landmarks, 3))
+    info_lm = 1.0 / lm_noise**2
+    info6 = (info_lm, 0.0, 0.0, info_lm, 0.0, info_lm)
+    lines = [text.rstrip("\n")]
+    lm_id = {}  # first-appearance ids (incremental-order parser contract)
+    for i in range(n_poses):
+        d2 = np.sum((lms - gt[i, :3]) ** 2, axis=1)
+        near = np.flatnonzero(d2 < obs_radius**2)
+        rng.shuffle(near)
+        for l in near[:max_obs_per_pose]:
+            if l not in lm_id:
+                lm_id[l] = n_poses + len(lm_id)
+            q = _np_aa_to_quat(gt[i, 3:6])
+            h = _np_quat_rotate(_np_quat_conj(q), lms[l] - gt[i, 0:3])
+            h = h + rng.normal(0, lm_noise, 3)
+            lines.append(
+                "LANDMARK3:XYZ %d %d %.9f %.9f %.9f %.6f %.6f %.6f %.6f %.6f %.6f"
+                % (i, lm_id[l], *h, *info6)
+            )
     return "\n".join(lines) + "\n", (gt, lms)

@@ -162,26 +162,39 @@ def build_ba_schur_plan_arrays(
         ),
     )
 
-    # all ordered observation pairs sharing a landmark, vectorized:
-    # pair t belongs to landmark lm_of[t]; within its deg^2 block,
-    # (row, col) = divmod(t - block_start, deg)
+    # UNORDERED observation pairs sharing a landmark (e <= f), vectorized:
+    # SC symmetry (BD_e B_f^T = (BD_f B_e^T)^T since D is symmetric) lets the
+    # device compute each pair once and mirror the reduced grid — half the
+    # gather traffic of the ordered expansion.  Pair t of landmark l with
+    # degree d: within its d(d+1)/2 block, (e, f) from the triangular index.
     deg = (lm_ends - lm_starts).astype(np.int64)
-    d2 = deg * deg
+    d2 = deg * (deg + 1) // 2
     M2 = int(d2.sum())
     block_start = np.cumsum(d2) - d2
     t_idx = np.arange(M2, dtype=np.int64)
     within = t_idx - np.repeat(block_start, d2)
     deg_r = np.repeat(deg, d2)
     base = np.repeat(lm_starts.astype(np.int64), d2)
-    pair_e = base + within // deg_r
-    pair_f = base + within % deg_r
+    # triangular unranking: rows e have lengths d, d-1, ..., 1 and
+    # prefix(e) = e*d - e(e-1)/2; e = largest row with prefix <= within
+    e_loc = np.floor(
+        ((2 * deg_r + 1) - np.sqrt((2 * deg_r + 1) ** 2 - 8.0 * within)) / 2
+    ).astype(np.int64)
+    e_loc = np.clip(e_loc, 0, np.maximum(deg_r - 1, 0))
+    pref = lambda e: e * deg_r - (e * (e - 1)) // 2  # noqa: E731
+    e_loc = e_loc - (pref(e_loc) > within)  # float-sqrt off-by-one guards
+    e_loc = e_loc + (pref(e_loc + 1) <= within)
+    prev = pref(e_loc)
+    f_loc = e_loc + (within - prev)
+    pair_e = base + e_loc
+    pair_f = base + f_loc
     flat = oc[pair_e] * n_c + oc[pair_f]
     po = np.argsort(flat, kind="stable")
     pair_e, pair_f, flat = pair_e[po], pair_f[po], flat[po]
     distinct, starts = np.unique(flat, return_index=True)
     ends = np.concatenate([starts[1:], [len(flat)]])
     n_distinct = len(distinct)
-    pair_grp = plan_grouped_segments(starts, ends, M2)
+    pair_grp = plan_grouped_segments(starts, ends, M2, bucket_base=2, min_cap=8)
 
     grid = np.arange(n_c * n_c, dtype=np.int64)
     if n_distinct:
@@ -211,6 +224,9 @@ def build_ba_schur_plan_arrays(
 
 
 def _p2c_residual_jacs(point, cam_state, uv):
+    """Autodiff oracle for ONE observation (kept as the test reference for
+    the analytic batch kernel below)."""
+
     def err(dp, dc):
         cam = jnp.concatenate([se3.plus(cam_state[0:6], dc), cam_state[6:11]])
         return cam_geo.p2c_error(point + dp, cam, uv)
@@ -220,37 +236,89 @@ def _p2c_residual_jacs(point, cam_state, uv):
     return r, Jp, Jc
 
 
+def _rodrigues_last(aa):
+    """Rotation matrices (3, 3, m) from axis-angle (3, m) — elementwise
+    Rodrigues in batch-last layout (se3.axis_angle_to_rot per column)."""
+    sq = jnp.sum(aa * aa, axis=0)
+    small = sq < 1e-16
+    t = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(t)
+    sinc = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(angle) / angle)
+    cosc = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(angle)) / t)
+    wx, wy, wz = aa[0], aa[1], aa[2]
+    zero = jnp.zeros_like(wx)
+    K = jnp.stack([
+        jnp.stack([zero, -wz, wy]),
+        jnp.stack([wz, zero, -wx]),
+        jnp.stack([-wy, wx, zero]),
+    ])  # (3, 3, m)
+    KK = jnp.einsum("ikm,kjm->ijm", K, K)
+    eye = jnp.eye(3, dtype=aa.dtype)[:, :, None]
+    return eye + sinc[None, None, :] * K + cosc[None, None, :] * KK
+
+
+def _p2c_jacs_analytic(points, cam_states, uvs):
+    """Hand-derived P2C residual + Jacobians for ALL observations at once,
+    batch-last: r (2, m), Jp (2, 3, m), Jc (2, 6, m).
+
+    Closed-form chain matching the reference's analytic Jacobians
+    (CBAJacobians::Project_P2C, BASolverBase.h:260) for the retraction
+    point+dp / right-composed pose delta (se3.plus): with x = R X + t,
+    dx/ddt = R, dx/ddaa = -R [X]x, dx/dX = R; the projection+radial layer
+    differentiates elementwise.  Replaces the vmapped jacfwd that cost 15.4 s
+    per Venice iteration (70%% of the step) in f64 on TPU."""
+    X = points.T  # (3, m)
+    tvec = cam_states[:, 0:3].T
+    aa = cam_states[:, 3:6].T
+    fx, fy, cx, cy, k0 = (cam_states[:, 6 + i] for i in range(5))
+    k = k0 / (0.5 * (fx + fy))
+    z = uvs.T  # (2, m)
+
+    R = _rodrigues_last(aa)  # (3, 3, m)
+    x = jnp.einsum("ijm,jm->im", R, X) + tvec  # (3, m) camera coords
+    iz = 1.0 / x[2]
+    a = fx * x[0] * iz  # u - cx
+    b = fy * x[1] * iz  # v - cy
+    r2 = a * a + b * b
+    d = 1.0 + k * r2
+    h = jnp.stack([cx + d * a, cy + d * b])
+    r = z - h
+
+    zero = jnp.zeros_like(iz)
+    da = jnp.stack([fx * iz, zero, -a * iz])  # (3, m) d a / d x
+    db = jnp.stack([zero, fy * iz, -b * iz])
+    m11 = d + 2.0 * k * a * a
+    m12 = 2.0 * k * a * b
+    m22 = d + 2.0 * k * b * b
+    Jh = jnp.stack([m11 * da + m12 * db, m12 * da + m22 * db])  # (2, 3, m)
+
+    JhR = jnp.einsum("rlm,ljm->rjm", Jh, R)  # (2, 3, m)
+    Jp = -JhR
+    # rotation part: dx/ddaa = -R skew(X)  ->  dh/ddaa = -Jh R skew(X)
+    Xx, Xy, Xz = X[0], X[1], X[2]
+    zero3 = jnp.zeros_like(Xx)
+    skewX = jnp.stack([
+        jnp.stack([zero3, -Xz, Xy]),
+        jnp.stack([Xz, zero3, -Xx]),
+        jnp.stack([-Xy, Xx, zero3]),
+    ])  # (3, 3, m)
+    JhRskew = jnp.einsum("rlm,ljm->rjm", JhR, skewX)
+    Jc = jnp.concatenate([Jp, JhRskew], axis=1)  # (2, 6, m)
+    return r, Jp, Jc
+
+
 def _jacs_chunked(points, cam_states, uvs, chunk: int = 131072):
     """Per-observation residuals + Jacobians in BATCH-LAST layout:
     r (2, m), Jp (2, 3, m), Jc (2, 6, m).
 
-    Two reasons for the layout and the chunking: (a) the vmapped jacfwd over
-    ALL observations materializes O(m * tangents * dim) intermediates (~18 GB
-    at Venice scale) — a lax.map over fixed chunks bounds that; (b) TPU
-    tiling pads the two MINOR dims to (8, 128), so a batch-FIRST (m, 6, 3)
-    f64 array occupies 4.5 GB of HBM while (6, 3, m) takes ~1.3x its logical
-    size.  Every per-observation array in this module keeps m last."""
-    m = points.shape[0]
-    if m <= chunk:
-        r, Jp, Jc = jax.vmap(_p2c_residual_jacs, out_axes=-1)(points, cam_states, uvs)
-        return r, Jp, Jc
-    C = (m + chunk - 1) // chunk
-    pad = C * chunk - m
-    pp = jnp.pad(points, ((0, pad), (0, 0)))
-    cp = jnp.pad(cam_states, ((0, pad), (0, 0)))
-    up = jnp.pad(uvs, ((0, pad), (0, 0)))
-    if pad:  # keep padded rows numerically benign (unit focal, z=1 points)
-        cp = cp.at[m:, 6:8].set(1.0)
-        pp = pp.at[m:, 2].set(1.0)
-    r, Jp, Jc = lax.map(
-        lambda args: jax.vmap(_p2c_residual_jacs, out_axes=-1)(*args),
-        (pp.reshape(C, chunk, 3), cp.reshape(C, chunk, cp.shape[-1]),
-         up.reshape(C, chunk, 2)),
-    )  # (C, 2, chunk), (C, 2, 3, chunk), (C, 2, 6, chunk)
-    r = jnp.moveaxis(r, 0, -2).reshape(2, C * chunk)[:, :m]
-    Jp = jnp.moveaxis(Jp, 0, -2).reshape(2, 3, C * chunk)[:, :, :m]
-    Jc = jnp.moveaxis(Jc, 0, -2).reshape(2, 6, C * chunk)[:, :, :m]
-    return r, Jp, Jc
+    Uses the ANALYTIC whole-batch kernel (_p2c_jacs_analytic — the vmapped
+    jacfwd it replaces cost 15.4 s per Venice iteration on TPU; the analytic
+    chain is elementwise over the lane dim with no autodiff intermediates).
+    Batch-last because TPU tiling pads the two MINOR dims to (8, 128): a
+    batch-FIRST (m, 6, 3) f64 array occupies 4.5 GB of HBM while (6, 3, m)
+    takes ~1.3x its logical size."""
+    del chunk  # no longer needed: analytic intermediates are O(m)
+    return _p2c_jacs_analytic(points, cam_states, uvs)
 
 
 def _inv3_last(D):
@@ -277,21 +345,26 @@ def _inv3_last(D):
     return jnp.stack([row0, row1, row2]) * inv_det
 
 
-def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000):
-    """Off-diagonal SC mass: for every distinct (cam_i, cam_j) block,
-    sum over landmark-sharing observation pairs of BD_e @ B_f^T.
+def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000,
+                  pair_f32: bool = True):
+    """Half-triangle SC mass: for every distinct (cam_i, cam_j) block, the
+    sum over UNORDERED landmark-sharing observation pairs of BD_e @ B_f^T
+    (diagonal e == f pairs scaled by 0.5 so the caller's mirror G + G^T
+    restores the full ordered sum).
 
     BD2, B2: (18, m) flattened (6, 3, m) coupling arrays.  Returns
     (36, n_distinct + 1) with a zero column at n_distinct.  Buckets of the
-    pair plan are processed with bounded-memory chunking: the (6, 6, rows,
-    cap) pair products are never materialized beyond ``max_chunk`` pairs.
+    pair plan are processed with bounded-memory chunking; ``pair_f32`` runs
+    the gather+product in f32 (TPU gathers measured 2.6x faster than f64;
+    the SC factorization is f32-equilibrated downstream anyway).
     """
-    zcol = jnp.zeros((18, 1), BD2.dtype)
-    BDp = jnp.concatenate([BD2, zcol], -1)
-    Bp = jnp.concatenate([B2, zcol], -1)
+    dt = jnp.float32 if pair_f32 else BD2.dtype
+    zcol = jnp.zeros((18, 1), dt)
+    BDp = jnp.concatenate([BD2.astype(dt), zcol], -1)
+    Bp = jnp.concatenate([B2.astype(dt), zcol], -1)
     M2p = plan.pair_e.shape[0]  # M2 + 1 (dummy at M2)
 
-    out = jnp.zeros((36, plan.n_distinct + 1), BD2.dtype)
+    out = jnp.zeros((36, plan.n_distinct + 1), dt)
 
     def rows_product(ix):
         """ix: (rows, cap) pair ids -> (36, rows) reduced products."""
@@ -299,10 +372,11 @@ def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000):
         flat = ix.reshape(-1)
         pe = plan.pair_e[flat]
         pf = plan.pair_f[flat]
+        scale = jnp.where(pe == pf, 0.5, 1.0).astype(dt).reshape(rows, cap)
         BDg = BDp[:, pe].reshape(6, 3, rows, cap)
         Bg = Bp[:, pf].reshape(6, 3, rows, cap)
         prod = jnp.sum(BDg[:, None] * Bg[None, :], axis=2)  # (6, 6, rows, cap)
-        return jnp.sum(prod, -1).reshape(36, rows)
+        return jnp.sum(prod * scale, -1).reshape(36, rows)
 
     for b in plan.pair_grp.buckets:
         G, cap = b.idx.shape
@@ -321,7 +395,8 @@ def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000):
     return out
 
 
-def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bool = True):
+def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha,
+                     sc_f64: bool = True, pair_f32: bool = True):
     """One damped (LM) BA iteration without any dense Hessian.
 
     cam_states: (n_c, 11); lm_states: (n_l, 3).  Returns
@@ -377,9 +452,14 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     B2 = B.reshape(18, m)
     BD2 = BD.reshape(18, m)
 
-    # SC pair mass per distinct (cam_i, cam_j), placed by inverse-map gather
-    mass = _pair_sc_mass(plan, BD2, B2)  # (36, n_distinct + 1)
-    SCf = -mass[:, plan.sc_inv_map]  # (36, n_c*n_c)
+    # SC pair mass per distinct (cam_i, cam_j) over the HALF triangle of
+    # pairs, placed by inverse-map gather and mirrored: the full grid is
+    # G + G^T-of-blocks (BD_e B_f^T = (BD_f B_e^T)^T; e == f pre-scaled 0.5)
+    mass = _pair_sc_mass(plan, BD2, B2, pair_f32=pair_f32)
+    G36 = mass[:, plan.sc_inv_map].astype(r.dtype)  # (36, n_c*n_c)
+    Gg = G36.reshape(6, 6, n_c, n_c)
+    # mirror: block at (ci, cj) += transpose of the block at (cj, ci)
+    SCf = -(Gg + Gg.transpose(1, 0, 3, 2)).reshape(36, n_c * n_c)
     diag_ids = jnp.arange(n_c) * (n_c + 1)
     diag_add = Hcc_diag + alpha * jnp.eye(6, dtype=SCf.dtype)[:, :, None]
     if plan.anchor_cam >= 0:
@@ -439,12 +519,30 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha, sc_f64: bo
     return new_cams, new_lms, jnp.sqrt(sq), chi2, denom
 
 
+def _p2c_residual_batch(points, cam_states, uvs):
+    """Batch-last residuals r (2, m) — the forward chain of
+    _p2c_jacs_analytic without the Jacobian layers."""
+    X = points.T
+    tvec = cam_states[:, 0:3].T
+    aa = cam_states[:, 3:6].T
+    fx, fy, cx, cy, k0 = (cam_states[:, 6 + i] for i in range(5))
+    k = k0 / (0.5 * (fx + fy))
+    R = _rodrigues_last(aa)
+    x = jnp.einsum("ijm,jm->im", R, X) + tvec
+    iz = 1.0 / x[2]
+    a = fx * x[0] * iz
+    b = fy * x[1] * iz
+    d = 1.0 + k * (a * a + b * b)
+    h = jnp.stack([cx + d * a, cy + d * b])
+    return uvs.T - h
+
+
 def ba_chi2_only(plan: BASchurPlan, cam_states, lm_states):
     """Residual-only chi2 (no Jacobians, no SC) — used by the LM
     accept/reject loop so a rejected step costs O(m) instead of a full
     Schur solve (reference evaluates f_Chi_Squared_Error after the step,
     NonlinearSolver_Lambda_LM.h:205-230)."""
-    r = jax.vmap(cam_geo.p2c_error, out_axes=-1)(
+    r = _p2c_residual_batch(
         lm_states[plan.obs_lm], cam_states[plan.obs_cam], plan.obs_uv
     )  # (2, m)
     Wt = jnp.moveaxis(plan.obs_info, 0, -1)
@@ -456,11 +554,12 @@ class BigBASolver:
     """LM over the observation-driven Schur step (the Venice-class solver)."""
 
     def __init__(self, system, verbose: bool = False, tau: float = 1e-3,
-                 sc_f64: bool = True):
+                 sc_f64: bool = True, pair_f32: bool = True):
         self.system = system
         self.verbose = verbose
         self.tau = tau
         self.sc_f64 = sc_f64
+        self.pair_f32 = pair_f32
         self.plan = None
         self._step = None
         self._cams = None
@@ -469,10 +568,11 @@ class BigBASolver:
     @classmethod
     def from_arrays(cls, cam_states, lm_states, obs_cam, obs_lm, uv, info,
                     verbose: bool = False, tau: float = 1e-3,
-                    sc_f64: bool = False):
+                    sc_f64: bool = False, pair_f32: bool = True):
         """Venice-scale constructor from raw observation arrays (no
         GraphSystem / parser in the loop)."""
-        self = cls(system=None, verbose=verbose, tau=tau, sc_f64=sc_f64)
+        self = cls(system=None, verbose=verbose, tau=tau, sc_f64=sc_f64,
+                   pair_f32=pair_f32)
         self.plan = build_ba_schur_plan_arrays(
             len(cam_states), len(lm_states), obs_cam, obs_lm, uv, info
         )
@@ -482,8 +582,12 @@ class BigBASolver:
 
     def _make_step(self):
         if self._step is None:
-            step = jax.jit(ba_schur_lm_step, static_argnames=("sc_f64",))
-            self._step = lambda c, l, a: step(self.plan, c, l, a, sc_f64=self.sc_f64)
+            step = jax.jit(
+                ba_schur_lm_step, static_argnames=("sc_f64", "pair_f32")
+            )
+            self._step = lambda c, l, a: step(
+                self.plan, c, l, a, sc_f64=self.sc_f64, pair_f32=self.pair_f32
+            )
             self._chi2_fn = jax.jit(ba_chi2_only)
 
     def _prepare(self):

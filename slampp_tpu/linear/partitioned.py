@@ -68,20 +68,14 @@ class V3Plan(NamedTuple):
     gs_idx: jnp.ndarray  # (SB,)
     a_pad_eye: jnp.ndarray  # (K, M) 1.0 where frame diagonal is padding
     ss_pad_eye: jnp.ndarray  # (Ms,)
-    sc_perm: jnp.ndarray  # (K*sB*sB,) sort of SC block contributions
-    sc_starts: jnp.ndarray  # (F2,)
-    sc_ends: jnp.ndarray  # (F2,)
+    sc_grp: object  # GroupedSegments over SC block contributions
     sc_inv_map: jnp.ndarray  # (SB*SB,) -> F2 = zero
-    scr_perm: jnp.ndarray  # (K*sB,) rhs contribution sort
-    scr_starts: jnp.ndarray  # (SB or fewer,)
-    scr_ends: jnp.ndarray
+    scr_grp: object  # GroupedSegments over SC rhs contributions
     scr_inv_map: jnp.ndarray  # (SB,)
     xs_idx: jnp.ndarray  # (K, sB) -> separator block rank (SB = dummy)
     sol_gather: jnp.ndarray  # (n,) -> row in [x_int (K*mB) | xs (SB)]
-    # spmv (f64 refinement) plans
-    mv_perm: jnp.ndarray  # (nnzb + n_off,)
-    mv_starts: jnp.ndarray  # (n,)
-    mv_ends: jnp.ndarray  # (n,)
+    # spmv (f64 refinement) plan
+    mv_grp: object  # GroupedSegments over matvec terms -> n rows
 
 
 class PartitionedSolver:
@@ -396,12 +390,12 @@ def build_v3_geometry(n, pairs, bs: int, target: int = 64,
         gk_idx=dev(gk_idx), gs_idx=dev(gs_idx),
         a_pad_eye=jnp.asarray(a_pad_eye, jnp.float32),
         ss_pad_eye=jnp.asarray(ss_pad_eye, jnp.float32),
-        sc_perm=dev(sc_perm), sc_starts=dev(starts), sc_ends=dev(ends),
+        sc_grp=block_assembly._remapped_group_plan(starts, ends, sc_perm),
         sc_inv_map=dev(sc_inv_map),
-        scr_perm=dev(scr_perm), scr_starts=dev(starts_r), scr_ends=dev(ends_r),
+        scr_grp=block_assembly._remapped_group_plan(starts_r, ends_r, scr_perm),
         scr_inv_map=dev(scr_inv_map),
         xs_idx=dev(xs_idx), sol_gather=dev(sol),
-        mv_perm=dev(mv_perm), mv_starts=dev(starts_m), mv_ends=dev(ends_m),
+        mv_grp=block_assembly._remapped_group_plan(starts_m, ends_m, mv_perm),
     )
     return plan, slot_of, inv
 
@@ -449,26 +443,30 @@ def _factor32(p: V3Plan, vals32, rhs32):
     WU = W[:, :, : p.S]
     y = W[:, :, p.S]
 
-    # SC = Ass - sum_k place(WU^T WU)
+    # SC = Ass - sum_k place(WU^T WU); grouped padded-gather reduction
+    # (ops/segments.py) in batch-last (bs*bs, T) layout
+    from slampp_tpu.ops.segments import grouped_segsum_last
+
     C = jnp.einsum("kms,kmt->kst", WU, WU, preferred_element_type=WU.dtype, precision=HI)
-    Cb = C.reshape(p.K, p.sB, bs, p.sB, bs).transpose(0, 1, 3, 2, 4).reshape(-1, bs, bs)
-    Cb = Cb[p.sc_perm]
-    cum0 = jnp.concatenate([jnp.zeros((1, bs, bs), Cb.dtype), jnp.cumsum(Cb, 0)], 0)
-    red = _segsum(cum0, p.sc_starts, p.sc_ends)
-    redp = jnp.concatenate([red, jnp.zeros((1, bs, bs), Cb.dtype)], 0)
+    Cb = C.reshape(p.K, p.sB, bs, p.sB, bs).transpose(0, 1, 3, 2, 4).reshape(-1, bs * bs)
+    red = grouped_segsum_last(Cb.T, p.sc_grp)  # (bs*bs, F2)
+    redp = jnp.concatenate([red, jnp.zeros((bs * bs, 1), Cb.dtype)], -1)
     SBp = max(p.SB, 1)
-    SCsub = redp[p.sc_inv_map].reshape(SBp, SBp, bs, bs).transpose(0, 2, 1, 3)
-    SCsub = SCsub.reshape(SBp * bs, SBp * bs)[: p.SB * bs, : p.SB * bs]
+    SCsub = (
+        redp[:, p.sc_inv_map]
+        .reshape(bs, bs, SBp, SBp)
+        .transpose(2, 0, 3, 1)
+        .reshape(SBp * bs, SBp * bs)[: p.SB * bs, : p.SB * bs]
+    )
     SC = Ass - jnp.pad(SCsub, ((0, p.Ms - p.SB * bs), (0, p.Ms - p.SB * bs)))
     Ls = dk.chol_batched(SC[None])  # (1, Ms, Ms)
 
     # rhs_s = gs - sum_k place(WU^T y)
     v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=WU.dtype, precision=HI)
-    vb = v.reshape(p.K * p.sB, bs)[p.scr_perm]
-    cum0v = jnp.concatenate([jnp.zeros((1, bs), vb.dtype), jnp.cumsum(vb, 0)], 0)
-    redv = _segsum(cum0v, p.scr_starts, p.scr_ends)
-    redvp = jnp.concatenate([redv, jnp.zeros((1, bs), vb.dtype)], 0)
-    vsub = redvp[p.scr_inv_map].reshape(-1)[: p.SB * bs]
+    vb = v.reshape(p.K * p.sB, bs)
+    redv = grouped_segsum_last(vb.T, p.scr_grp)  # (bs, Fr)
+    redvp = jnp.concatenate([redv, jnp.zeros((bs, 1), vb.dtype)], -1)
+    vsub = redvp[:, p.scr_inv_map].T.reshape(-1)[: p.SB * bs]
     rhs_s = gs - jnp.pad(vsub, (0, p.Ms - p.SB * bs))
     return L, WU, y, Ls, rhs_s
 
@@ -486,12 +484,13 @@ def _solve_with(p: V3Plan, L, WU, Ls, gk_fine, gs_fine):
     Bg = jnp.pad(gk[..., None], ((0, 0), (0, 0), (0, 7)))
     y = dk.trsm_lower_batched(L, Bg)[:, :, 0]  # (K, M)
 
+    from slampp_tpu.ops.segments import grouped_segsum_last
+
     v = jnp.einsum("kms,km->ks", WU, y, preferred_element_type=WU.dtype, precision=HI)
-    vb = v.reshape(p.K * p.sB, bs)[p.scr_perm]
-    cum0v = jnp.concatenate([jnp.zeros((1, bs), vb.dtype), jnp.cumsum(vb, 0)], 0)
-    redv = _segsum(cum0v, p.scr_starts, p.scr_ends)
-    redvp = jnp.concatenate([redv, jnp.zeros((1, bs), vb.dtype)], 0)
-    vsub = redvp[p.scr_inv_map].reshape(-1)[: p.SB * bs]
+    vb = v.reshape(p.K * p.sB, bs)
+    redv = grouped_segsum_last(vb.T, p.scr_grp)
+    redvp = jnp.concatenate([redv, jnp.zeros((bs, 1), vb.dtype)], -1)
+    vsub = redvp[:, p.scr_inv_map].T.reshape(-1)[: p.SB * bs]
     rhs_s = gs - jnp.pad(vsub, (0, p.Ms - p.SB * bs))
     return _backsolve(p, L, WU, Ls, y, rhs_s)
 
@@ -517,12 +516,13 @@ def _backsolve(p: V3Plan, L, WU, Ls, y, rhs_s):
 
 def _spmv_fine(p: V3Plan, vals, x):
     """y = A x on fine blocks (lower + diag stored); x: (n, bs)."""
+    from slampp_tpu.ops.segments import grouped_segsum_last
+
     n = p.n
     t1 = jnp.einsum("sij,sj->si", vals[: p.nnzb], x[p.cols], precision=HI)
     t2 = jnp.einsum("sji,sj->si", vals[n : p.nnzb], x[p.rows[n:]], precision=HI)
-    terms = jnp.concatenate([t1, t2], 0)[p.mv_perm]
-    cum0 = jnp.concatenate([jnp.zeros((1, p.bs), terms.dtype), jnp.cumsum(terms, 0)], 0)
-    return _segsum(cum0, p.mv_starts, p.mv_ends)
+    terms = jnp.concatenate([t1, t2], 0)  # (T, bs) unpermuted
+    return grouped_segsum_last(terms.T, p.mv_grp).T
 
 
 def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,

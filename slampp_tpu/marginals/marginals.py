@@ -148,15 +148,32 @@ class MarginalCovariance:
 
     def update_incremental(self, J: np.ndarray, W: np.ndarray) -> None:
         """Rank update after adding edges with stacked Jacobians J (m, N)
-        and information W (m, m) at an UNCHANGED linearization point."""
+        and information W (m, m) at an UNCHANGED linearization point.
+
+        On a numerical failure (non-SPD cache, non-finite update) this falls
+        back to the batch recompute — the reference's
+        Update_BlockDiagonalMarginals_FBS failure path
+        (NonlinearSolver_Lambda.h:731-741)."""
         if self._H is None:
             raise RuntimeError("update_batch must run before incremental updates")
-        Hj = jnp.asarray(self._H)
-        # Sigma J^T via the cached H: one batched solve H X = J^T
-        L = np.linalg.cholesky(self._H)
-        X = np.linalg.solve(L.T, np.linalg.solve(L, J.T))  # (N, m)
-        S = np.linalg.inv(W) + J @ X
-        Sinv = np.linalg.inv(S)
+        try:
+            # Sigma J^T via the cached H: one batched solve H X = J^T
+            L = np.linalg.cholesky(self._H)
+            X = np.linalg.solve(L.T, np.linalg.solve(L, J.T))  # (N, m)
+            S = np.linalg.inv(W) + J @ X
+            Sinv = np.linalg.inv(S)
+            if not (np.all(np.isfinite(X)) and np.all(np.isfinite(Sinv))):
+                raise np.linalg.LinAlgError("non-finite incremental update")
+        except np.linalg.LinAlgError:
+            import sys
+
+            print(
+                "warning: incremental marginals update had a numerical issue: "
+                "restarting with the batch recompute instead",
+                file=sys.stderr,
+            )
+            self.update_batch()
+            return
         offsets, _ = self.system._layout()
         for vid, off in offsets.items():
             t, _ = self.system.vertex_index[vid]

@@ -48,9 +48,17 @@ def _const_velocity_error(xs, z):
 
 
 def _landmark_prior_error(xs, z):
-    """Absolute landmark position prior (CEdgeLandmark3DPrior)."""
+    """Landmark ANCHOR factor (reference CEdgeLandmark3DPrior,
+    ROCV_Types.h:240-320): the error is identically ZERO and the chi2
+    contribution is zero — only the information (via the hand-coded
+    identity Jacobian below) enters the Hessian, pinning the gauge."""
     (lm,) = xs
-    return z - lm
+    return jnp.zeros(3, lm.dtype)
+
+
+def _landmark_prior_jacobian(xs, z):
+    (lm,) = xs
+    return jnp.zeros(3, lm.dtype), (jnp.eye(3, dtype=lm.dtype),)
 
 
 def _spheron_xyz_error(xs, z):
@@ -86,6 +94,7 @@ EDGE_LANDMARK3D_PRIOR = register_edge_type(
         res_dim=3,
         meas_dim=3,
         error_fn=_landmark_prior_error,
+        jacobian_fn=_landmark_prior_jacobian,
     )
 )
 

@@ -35,6 +35,30 @@ from slampp_tpu.geometry import se3
 from slampp_tpu.linear.dense import solve_spd
 
 
+def _inv3(D):
+    """Closed-form batched 3x3 inverse for (n, 3, 3) arrays (adjugate/det).
+    The TPU compiler has no f64 LuDecomposition (jnp.linalg.inv lowers to LU
+    there), and the landmark blocks are SPD 3x3 — closed form is exact and
+    fuses into the surrounding einsums."""
+    a, b, c = D[:, 0, 0], D[:, 0, 1], D[:, 0, 2]
+    d, e, f = D[:, 1, 0], D[:, 1, 1], D[:, 1, 2]
+    g, h, i = D[:, 2, 0], D[:, 2, 1], D[:, 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[:, None, None]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BAShards:
@@ -400,7 +424,7 @@ def _big_step_fn(mesh: Mesh, axis: str, n_c: int, per: int, anchor_cam: int,
                 jnp.where(mine, 1.0, 0.0) * jnp.eye(3)
             )
         D = jnp.where(sh.lm_valid[0][:, None, None], D, jnp.eye(3)[None])
-        Dinv = jnp.linalg.inv(D)
+        Dinv = _inv3(D)
 
         # camera block-diagonal partials (scatter-add over local obs)
         Hcc_e = jnp.einsum("eij,eik->ejk", Jc, WJc)
@@ -607,7 +631,7 @@ def distributed_ba_lm_step(shards: BAShards, mesh: Mesh, alpha, axis: str = "lm"
         D = jnp.where(
             sh.lm_valid[:, None, None], D, jnp.eye(3)[None]
         )  # padding landmarks: identity
-        Dinv = jnp.linalg.inv(D)
+        Dinv = _inv3(D)
 
         # SC subtraction: for each observation pair (same landmark), the
         # coupling B_e = J_c^T W J_p (6x3).  SC -= B_i Dinv B_j^T for all

@@ -74,11 +74,27 @@ class GaussNewtonSolver:
         self.n_iterations = 0
         self._schur_plan = None
         self._native = None
+        self._sparse_schur = None
 
     def _resolve_solver(self) -> str:
+        import os
+
+        from slampp_tpu.graph.types import get_vertex_type
+
+        if self.linear_solver == "schur":
+            # landmark graphs above a size threshold eliminate landmarks
+            # observation-wise and solve the reduced system sparsely —
+            # no dense H at any point (reference -us at any scale,
+            # LinearSolver_Schur.h:1623; see linear/schur_sparse.py)
+            thresh = int(os.environ.get("SLAMPP_SPARSE_SCHUR_THRESHOLD", "1500"))
+            has_lm = any(
+                get_vertex_type(t).is_landmark
+                for t, _ in self.system.vertex_index.values()
+            )
+            if has_lm and self.system.n_vertices >= thresh:
+                return "schur_sparse"
         if self.linear_solver != "auto":
             return self.linear_solver
-        from slampp_tpu.graph.types import get_vertex_type
 
         dims = {
             get_vertex_type(t).dim
@@ -112,6 +128,13 @@ class GaussNewtonSolver:
                 self._native = NativeBlockSolver(self.system)
             with self.timer.phase("symbolic"):
                 self._native.ensure_symbolic()
+        elif kind == "schur_sparse":
+            from slampp_tpu.linear.schur_sparse import SparseSchurSolver
+
+            if self._sparse_schur is None:
+                self._sparse_schur = SparseSchurSolver(self.system)
+            with self.timer.phase("symbolic"):
+                self._sparse_schur.ensure_symbolic()
         graph = self._snapshot()
         plan = self._plan() if kind == "schur" else None
         applied = 0
@@ -119,13 +142,27 @@ class GaussNewtonSolver:
             with self.timer.phase("gn_step"):
                 if kind == "native":
                     new_states, dx_norm, chi2 = self._native.gn_step(graph)
+                elif kind == "schur_sparse":
+                    new_states, dx_norm, chi2 = self._sparse_schur.gn_step(graph)
                 else:
                     new_states, dx_norm, chi2 = _gn_step(graph, plan)
                 dx_norm = float(dx_norm)
             self.n_iterations += 1
             if self.verbose:
                 print(f"iter {applied}: chi2={float(chi2):.4f} |dx|={dx_norm:.6f}")
-            if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
+            if not jnp.isfinite(dx_norm):
+                # reference aborts iterating when the factorization fails
+                # (Cholesky failure -> "not pos def, aborting",
+                # NonlinearSolver_Lambda.h:658-660)
+                import sys
+
+                print(
+                    "warning: system is not positive definite / numerical "
+                    "failure in the linear solve, aborting iterations",
+                    file=sys.stderr,
+                )
+                break
+            if dx_norm <= min_dx_norm:
                 break
             graph = graph.replace_states(new_states)
             applied += 1

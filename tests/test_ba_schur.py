@@ -38,8 +38,14 @@ def test_ba_schur_step_matches_dense_path():
     alpha = 1e-2
 
     nc, nl, dxn, chi2, denom = jax.jit(
-        lambda c, l: ba_schur_lm_step(plan, c, l, alpha)
+        lambda c, l: ba_schur_lm_step(plan, c, l, alpha, pair_f32=False)
     )(cams, lms)
+    # the fast path (f32 pair products) must agree to f32-level tolerance
+    nc32, nl32, _, _, _ = jax.jit(
+        lambda c, l: ba_schur_lm_step(plan, c, l, alpha, pair_f32=True)
+    )(cams, lms)
+    np.testing.assert_allclose(np.asarray(nc32), np.asarray(nc), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(nl32), np.asarray(nl), atol=1e-2)
 
     # dense-H reference with the same damping/anchor
     graph = system.snapshot()

@@ -91,8 +91,8 @@ def test_distributed_big_ba_step_matches_obs_driven_single_device():
     cams = jnp.asarray(np.stack([system.vertex_state(v) for v in cam_ids]))
     lms = jnp.asarray(np.stack([system.vertex_state(v) for v in lm_ids]))
     ref_cams, ref_lms, ref_norm, ref_chi2, ref_denom = jax.jit(
-        ba_schur_lm_step, static_argnames=("sc_f64",)
-    )(plan, cams, lms, alpha)
+        ba_schur_lm_step, static_argnames=("sc_f64", "pair_f32")
+    )(plan, cams, lms, alpha, pair_f32=False)
 
     mesh = make_mesh(len(jax.devices()), axis="lm")
     shards = build_big_ba_shards(system, mesh)
