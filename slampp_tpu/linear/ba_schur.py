@@ -252,7 +252,10 @@ def _rodrigues_last(aa):
         jnp.stack([wz, zero, -wx]),
         jnp.stack([-wy, wx, zero]),
     ])  # (3, 3, m)
-    KK = jnp.einsum("ikm,kjm->ijm", K, K)
+    # broadcast-multiply-reduce, NOT einsum: a batch-dim-last dot_general is
+    # transposed to batch-first (m, 3, 3) by the TPU lowering, whose (4,128)
+    # minor tiling inflates 42x — the r3 Venice 18 GB OOM (broadcast.1037)
+    KK = jnp.sum(K[:, :, None, :] * K[None, :, :, :], axis=1)
     eye = jnp.eye(3, dtype=aa.dtype)[:, :, None]
     return eye + sinc[None, None, :] * K + cosc[None, None, :] * KK
 
@@ -275,7 +278,7 @@ def _p2c_jacs_analytic(points, cam_states, uvs):
     z = uvs.T  # (2, m)
 
     R = _rodrigues_last(aa)  # (3, 3, m)
-    x = jnp.einsum("ijm,jm->im", R, X) + tvec  # (3, m) camera coords
+    x = jnp.sum(R * X[None, :, :], axis=1) + tvec  # (3, m) camera coords
     iz = 1.0 / x[2]
     a = fx * x[0] * iz  # u - cx
     b = fy * x[1] * iz  # v - cy
@@ -292,7 +295,7 @@ def _p2c_jacs_analytic(points, cam_states, uvs):
     m22 = d + 2.0 * k * b * b
     Jh = jnp.stack([m11 * da + m12 * db, m12 * da + m22 * db])  # (2, 3, m)
 
-    JhR = jnp.einsum("rlm,ljm->rjm", Jh, R)  # (2, 3, m)
+    JhR = jnp.sum(Jh[:, :, None, :] * R[None, :, :, :], axis=1)  # (2, 3, m)
     Jp = -JhR
     # rotation part: dx/ddaa = -R skew(X)  ->  dh/ddaa = -Jh R skew(X)
     Xx, Xy, Xz = X[0], X[1], X[2]
@@ -302,7 +305,7 @@ def _p2c_jacs_analytic(points, cam_states, uvs):
         jnp.stack([Xz, zero3, -Xx]),
         jnp.stack([-Xy, Xx, zero3]),
     ])  # (3, 3, m)
-    JhRskew = jnp.einsum("rlm,ljm->rjm", JhR, skewX)
+    JhRskew = jnp.sum(JhR[:, :, None, :] * skewX[None, :, :, :], axis=1)
     Jc = jnp.concatenate([Jp, JhRskew], axis=1)  # (2, 6, m)
     return r, Jp, Jc
 
@@ -528,7 +531,7 @@ def _p2c_residual_batch(points, cam_states, uvs):
     fx, fy, cx, cy, k0 = (cam_states[:, 6 + i] for i in range(5))
     k = k0 / (0.5 * (fx + fy))
     R = _rodrigues_last(aa)
-    x = jnp.einsum("ijm,jm->im", R, X) + tvec
+    x = jnp.sum(R * X[None, :, :], axis=1) + tvec
     iz = 1.0 / x[2]
     a = fx * x[0] * iz
     b = fy * x[1] * iz

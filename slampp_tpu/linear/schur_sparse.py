@@ -69,11 +69,16 @@ class SparseSchurPlan(NamedTuple):
     # solution scatter
     pose_dx_offsets: jnp.ndarray  # (n_p, bs) global scalar offsets (dummy=state_dim)
     lm_dx_offsets: jnp.ndarray  # (n_l, dl)
+    # pp-edge pose ids (device copies, for the matvec used by dogleg)
+    pp_ei: jnp.ndarray  # (n_pp,)
+    pp_ej: jnp.ndarray  # (n_pp,)
+    anchor_orig: int  # original pose-block id of a pose anchor (-1 otherwise)
 
 
 # pytree registration: scalars static, arrays dynamic
 _SS_STATIC = ("n_p", "n_l", "bs", "dl", "n_src", "n_rsrc",
-              "anchor_kind", "anchor_idx", "anchor_dim", "anchor_info")
+              "anchor_kind", "anchor_idx", "anchor_dim", "anchor_info",
+              "anchor_orig")
 _SS_FIELDS = SparseSchurPlan._fields
 
 
@@ -296,13 +301,15 @@ class SparseSchurSolver:
 
         # anchor (gauge) handling
         av = system._unary_anchor
-        anchor_kind, anchor_idx, anchor_dim = "none", 0, 0
+        anchor_kind, anchor_idx, anchor_dim, anchor_orig = "none", 0, 0, -1
         if av is not None and not system._vconst.get(av, False):
             vt = get_vertex_type(system.vertex_index[av][0])
             if av in pose_block:
                 anchor_kind, anchor_idx = "pose", int(inv[pose_block[av]])
+                anchor_orig = int(pose_block[av])
             else:
                 anchor_kind, anchor_idx = "landmark", lm_pos[av]
+                anchor_orig = lm_pos[av]
             anchor_dim = vt.dim
 
         # dx scatter offsets
@@ -332,6 +339,7 @@ class SparseSchurSolver:
             pl_lm=dev(pl_lm_s), pl_pose=dev(np.maximum(pl_pose_s, 0)),
             pair_e=dev(pair_e), pair_f=dev(pair_f),
             pose_dx_offsets=dev(pose_off), lm_dx_offsets=dev(lm_off),
+            pp_ei=dev(pp_i), pp_ej=dev(pp_j), anchor_orig=anchor_orig,
         )
         self._inv_map = jnp.asarray(inv, jnp.int32)  # orig block -> permuted
         self._lm_sort_dev = jnp.asarray(lm_sort, jnp.int32)
@@ -409,12 +417,14 @@ class SparseSchurSolver:
             Hpp_c, gp_c, Dl_c, gl_c, B_c, chi2,
         )
 
-    def _step_impl(self, p: SparseSchurPlan, v3p, lm_sort, inv_map,
-                   graph: GraphArrays, alpha):
+    def _solve_from_terms(self, p: SparseSchurPlan, v3p, inv_map, graph,
+                          terms, alpha):
+        """Landmark elimination + sparse pose solve from per-edge terms.
+
+        Returns (dx (state_dim,), gvec (state_dim,), chi2, D_undamped) —
+        shared by the damped (LM/GN) step and the dogleg step."""
         bs, dl, n_p = p.bs, p.dl, p.n_p
-        (Hii, Hjj, Hij, gi, gj, Hpp, gp, Dle, gle, B, chi2) = self._edge_terms(
-            graph, lm_sort
-        )
+        (Hii, Hjj, Hij, gi, gj, Hpp, gp, Dle, gle, B, chi2) = terms
 
         # landmark blocks (sorted segment sums over the lm-sorted pl edges)
         def segsum0(data, starts, ends):
@@ -423,9 +433,9 @@ class SparseSchurSolver:
             )
             return cum0[ends] - cum0[starts]
 
-        D = segsum0(Dle, p.lm_starts, p.lm_ends)  # (n_l, dl, dl)
+        D0 = segsum0(Dle, p.lm_starts, p.lm_ends)  # (n_l, dl, dl) undamped
         g_l = segsum0(gle, p.lm_starts, p.lm_ends)  # (n_l, dl)
-        D = D + alpha * jnp.eye(dl, dtype=D.dtype)
+        D = D0 + alpha * jnp.eye(dl, dtype=D0.dtype)
         if p.anchor_kind == "landmark":
             add = jnp.zeros((dl, dl), D.dtype).at[
                 jnp.arange(p.anchor_dim), jnp.arange(p.anchor_dim)
@@ -473,21 +483,128 @@ class SparseSchurSolver:
         BT = segsum0(bt, p.lm_starts, p.lm_ends)
         dx_l = jnp.einsum("lij,lj->li", Dinv, -g_l - BT)
 
-        # global dx scatter + update
+        # global dx scatter
         total = graph.state_dim
         dx = jnp.zeros(total + 1, x_pose.dtype)
         dx = dx.at[p.pose_dx_offsets.reshape(-1)].set(x_pose.reshape(-1))
         dx = dx.at[p.lm_dx_offsets.reshape(-1)].set(dx_l.reshape(-1))
         dx = dx[:total]
-        new_states = assembly.apply_update(graph, dx)
+        # NOTE: gvec here is the NEGATED gradient contribution layout used by
+        # the LM gain denominator: rhs rows are -(g_p - BD g_l) per pose; the
+        # landmark rows carry raw g_l (matches the dense-oracle denominator)
         gvec = jnp.zeros(total + 1, x_pose.dtype)
         gvec = gvec.at[p.pose_dx_offsets.reshape(-1)].set(
             rhs[inv_map].reshape(-1)
         )
         gvec = gvec.at[p.lm_dx_offsets.reshape(-1)].set(g_l.reshape(-1))
         gvec = gvec[:total]
+        return dx, gvec, chi2, D0
+
+    def _step_impl(self, p: SparseSchurPlan, v3p, lm_sort, inv_map,
+                   graph: GraphArrays, alpha):
+        terms = self._edge_terms(graph, lm_sort)
+        dx, gvec, chi2, _ = self._solve_from_terms(
+            p, v3p, inv_map, graph, terms, alpha
+        )
+        new_states = assembly.apply_update(graph, dx)
         denom = jnp.dot(dx, alpha * dx - gvec)
         return new_states, denom, jnp.linalg.norm(dx), chi2
+
+    def _gradient(self, p: SparseSchurPlan, graph, terms):
+        """TRUE negative-gradient vector g (J^T W r layout): pose rows g_p,
+        landmark rows g_l, in global state coordinates."""
+        (Hii, Hjj, Hij, gi, gj, Hpp, gp, Dle, gle, B, chi2) = terms
+        total = graph.state_dim
+        g = jnp.zeros(total + 1, gi.dtype if gi.size else gp.dtype)
+        po = p.pose_dx_offsets  # (n_p, bs)
+        if gi.shape[0]:
+            g = g.at[po[p.pp_ei].reshape(-1)].add(gi.reshape(-1))
+            g = g.at[po[p.pp_ej].reshape(-1)].add(gj.reshape(-1))
+        if gp.shape[0]:
+            # u_lm rows have gp == 0 and pl_pose clamped to 0 — safe to add
+            g = g.at[po[p.pl_pose].reshape(-1)].add(gp.reshape(-1))
+            lo = p.lm_dx_offsets  # (n_l, dl)
+            g = g.at[lo[p.pl_lm].reshape(-1)].add(gle.reshape(-1))
+        return g[:total]
+
+    def _hessian_matvec(self, p: SparseSchurPlan, graph, terms, v):
+        """H @ v WITHOUT forming H: per-edge block products + anchor term.
+
+        Uses the per-edge Hessian blocks already computed in terms (the
+        reference computes these products on the block matrix; here the edge
+        list IS the block matrix).  v, result: (state_dim,)."""
+        (Hii, Hjj, Hij, gi, gj, Hpp, gp, Dle, gle, B, chi2) = terms
+        total = graph.state_dim
+        vp = jnp.concatenate([v, jnp.zeros(1, v.dtype)])
+        po, lo = p.pose_dx_offsets, p.lm_dx_offsets
+        out = jnp.zeros(total + 1, v.dtype)
+        if Hii.shape[0]:
+            vi = vp[po[p.pp_ei]]  # (n_pp, bs)
+            vj = vp[po[p.pp_ej]]
+            oi = (jnp.einsum("eij,ej->ei", Hii, vi)
+                  + jnp.einsum("eij,ej->ei", Hij, vj))
+            oj = (jnp.einsum("eji,ej->ei", Hij, vi)
+                  + jnp.einsum("eij,ej->ei", Hjj, vj))
+            out = out.at[po[p.pp_ei].reshape(-1)].add(oi.reshape(-1))
+            out = out.at[po[p.pp_ej].reshape(-1)].add(oj.reshape(-1))
+        if Hpp.shape[0]:
+            vpp = vp[po[p.pl_pose]]  # (n_pl, bs)
+            vll = vp[lo[p.pl_lm]]  # (n_pl, dl)
+            # B == 0 on u_lm rows masks the clamped pl_pose gather
+            op = (jnp.einsum("eij,ej->ei", Hpp, vpp)
+                  + jnp.einsum("eij,ej->ei", B, vll))
+            ol = (jnp.einsum("eji,ej->ei", B, vpp)
+                  + jnp.einsum("eij,ej->ei", Dle, vll))
+            out = out.at[po[p.pl_pose].reshape(-1)].add(op.reshape(-1))
+            out = out.at[lo[p.pl_lm].reshape(-1)].add(ol.reshape(-1))
+        if p.anchor_kind != "none" and p.anchor_orig >= 0:
+            offs = (po if p.anchor_kind == "pose" else lo)[p.anchor_orig]
+            offs = offs[: p.anchor_dim]
+            out = out.at[offs].add(p.anchor_info * vp[offs])
+        return out[:total]
+
+    def _dogleg_impl(self, p: SparseSchurPlan, v3p, lm_sort, inv_map,
+                     graph: GraphArrays, delta, relin_threshold):
+        """Powell dogleg with the Schur GN substep and observation-wise H
+        matvecs — (new_states, pred, dx_norm, chi2), the PartitionedSolver
+        dogleg_step contract; never materializes H
+        (reference: NonlinearSolver_Lambda_DL.h:242 over the Schur slot)."""
+        terms = self._edge_terms(graph, lm_sort)
+        dx_gn, _, chi2, _ = self._solve_from_terms(
+            p, v3p, inv_map, graph, terms, 0.0
+        )
+        g = self._gradient(p, graph, terms)  # same J^T W r sign as assemble_dense
+        gTg = jnp.dot(g, g)
+        Hg = self._hessian_matvec(p, graph, terms, g)
+        gHg = jnp.dot(g, Hg)
+        alpha_c = gTg / jnp.maximum(gHg, 1e-300)
+        dx_sd = -alpha_c * g
+
+        n_gn = jnp.linalg.norm(dx_gn)
+        n_sd = jnp.linalg.norm(dx_sd)
+
+        def blend():
+            d = dx_gn - dx_sd
+            a = jnp.dot(d, d)
+            b = 2.0 * jnp.dot(dx_sd, d)
+            c = jnp.dot(dx_sd, dx_sd) - delta * delta
+            disc = jnp.sqrt(jnp.maximum(b * b - 4 * a * c, 0.0))
+            t = (-b + disc) / jnp.maximum(2 * a, 1e-300)
+            return dx_sd + jnp.clip(t, 0.0, 1.0) * d
+
+        dx = jnp.where(
+            n_gn <= delta,
+            dx_gn,
+            jnp.where(
+                n_sd >= delta,
+                dx_sd * (delta / jnp.maximum(n_sd, 1e-300)),
+                blend(),
+            ),
+        )
+        Hdx = self._hessian_matvec(p, graph, terms, dx)
+        pred = -(jnp.dot(g, dx) + 0.5 * jnp.dot(dx, Hdx))
+        new_states = assembly.apply_update_gated(graph, dx, relin_threshold)
+        return new_states, pred, jnp.linalg.norm(dx), chi2
 
     def damped_step(self, graph: GraphArrays, alpha: float):
         """(new_states, denom, dx_norm, chi2) — PartitionedSolver contract."""
@@ -508,6 +625,24 @@ class SparseSchurSolver:
         return fn(
             self.plan, self._lm_sort_dev, self._inv_map,
             graph, jnp.asarray(alpha, jnp.float64),
+        )
+
+    def dogleg_step(self, graph: GraphArrays, delta, relin_threshold=0.0):
+        """(new_states, pred, dx_norm, chi2) — dogleg over the Schur slot."""
+        self.ensure_symbolic()
+        fn = self._step_fns.get("dogleg")
+        if fn is None:
+            v3p = self.v3_plan
+            fn = jax.jit(
+                lambda plan, lm_sort, inv_map, g, d, rt: self._dogleg_impl(
+                    plan, v3p, lm_sort, inv_map, g, d, rt
+                )
+            )
+            self._step_fns["dogleg"] = fn
+        return fn(
+            self.plan, self._lm_sort_dev, self._inv_map, graph,
+            jnp.asarray(delta, jnp.float64),
+            jnp.asarray(relin_threshold, jnp.float64),
         )
 
     def gn_step(self, graph: GraphArrays):

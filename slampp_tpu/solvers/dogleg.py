@@ -76,7 +76,9 @@ class DoglegSolver:
     ):
         """``engine``: "dense" assembles the full Hessian; "v3" runs the
         step through the partitioned block-sparse engine (uniform block
-        size) without materializing H."""
+        size) without materializing H; "schur_sparse" eliminates landmarks
+        observation-wise and doglegs over the Schur slot (reference slots
+        CLinearSolver_Schur under every solver, LinearSolver_Schur.h:1424)."""
         self.system = system
         self.verbose = verbose
         self.pad = pad
@@ -84,8 +86,35 @@ class DoglegSolver:
         self.relin_threshold = relin_threshold
         self.engine = engine
         self._v3 = None
+        self._ss = None
         self.timer = PhaseTimer()
         self.n_iterations = 0
+
+    def _resolve_engine(self) -> str:
+        """Auto-upgrade dense to sparse Schur on landmark graphs above the
+        size threshold (same gate as GN/LM)."""
+        import os
+
+        from slampp_tpu.graph.types import get_vertex_type
+
+        if self.engine == "dense":
+            thresh = int(os.environ.get("SLAMPP_SPARSE_SCHUR_THRESHOLD", "1500"))
+            has_lm = any(
+                get_vertex_type(t).is_landmark
+                for t, _ in self.system.vertex_index.values()
+            )
+            if has_lm and self.system.n_vertices >= thresh:
+                return "schur_sparse"
+        return self.engine
+
+    def _ss_solver(self):
+        if self._ss is None:
+            from slampp_tpu.linear.schur_sparse import SparseSchurSolver
+
+            with self.timer.phase("schur_sparse_symbolic"):
+                self._ss = SparseSchurSolver(self.system)
+                self._ss.ensure_symbolic()
+        return self._ss
 
     def _v3_solver(self):
         if self._v3 is None:
@@ -100,13 +129,18 @@ class DoglegSolver:
         if self.system.n_edges == 0:
             return 0
         graph = self.system.snapshot(pad=self.pad)
+        engine = self._resolve_engine()
         last_error = float(_chi2(graph))
         applied = 0
         for it in range(max_iterations):
             self.n_iterations += 1
             with self.timer.phase("dogleg_step"):
-                if self.engine == "v3":
+                if engine == "v3":
                     new_states, pred, dx_norm, _ = self._v3_solver().dogleg_step(
+                        graph, self.radius, self.relin_threshold
+                    )
+                elif engine == "schur_sparse":
+                    new_states, pred, dx_norm, _ = self._ss_solver().dogleg_step(
                         graph, self.radius, self.relin_threshold
                     )
                 else:

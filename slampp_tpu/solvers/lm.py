@@ -85,10 +85,13 @@ class LevenbergMarquardtSolver:
     ):
         """``engine``: "dense" (assemble the full Hessian — small problems),
         "v3" (partitioned block-sparse engine, uniform block size — scales to
-        arbitrarily long pose graphs without materializing H), or "big_ba"
-        (observation-driven Schur for mono cam/xyz BA — Venice scale; see
-        linear/ba_schur.BigBASolver; the CLI auto-selects it for large mono
-        BA, apps/main.py)."""
+        arbitrarily long pose graphs without materializing H),
+        "schur_sparse" (observation-wise landmark elimination + sparse pose
+        solve for general landmark graphs — no dense H; reference slots
+        CLinearSolver_Schur under EVERY nonlinear solver,
+        LinearSolver_Schur.h:1424), or "big_ba" (observation-driven Schur for
+        mono cam/xyz BA — Venice scale; see linear/ba_schur.BigBASolver; the
+        CLI auto-selects it for large mono BA, apps/main.py)."""
         self.system = system
         self.use_schur = use_schur
         self.verbose = verbose
@@ -100,6 +103,34 @@ class LevenbergMarquardtSolver:
         self._schur_plan = None
         self._v3 = None
         self._big = None
+        self._ss = None
+
+    def _resolve_engine(self) -> str:
+        """Auto-upgrade dense+use_schur to the sparse Schur engine on
+        landmark graphs above the size threshold (same gate as
+        GaussNewtonSolver._resolve_solver)."""
+        import os
+
+        from slampp_tpu.graph.types import get_vertex_type
+
+        if self.engine == "dense" and self.use_schur:
+            thresh = int(os.environ.get("SLAMPP_SPARSE_SCHUR_THRESHOLD", "1500"))
+            has_lm = any(
+                get_vertex_type(t).is_landmark
+                for t, _ in self.system.vertex_index.values()
+            )
+            if has_lm and self.system.n_vertices >= thresh:
+                return "schur_sparse"
+        return self.engine
+
+    def _ss_solver(self):
+        if self._ss is None:
+            from slampp_tpu.linear.schur_sparse import SparseSchurSolver
+
+            with self.timer.phase("schur_sparse_symbolic"):
+                self._ss = SparseSchurSolver(self.system)
+                self._ss.ensure_symbolic()
+        return self._ss
 
     def _v3_solver(self):
         if self._v3 is None:
@@ -123,7 +154,8 @@ class LevenbergMarquardtSolver:
     def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
         if self.system.n_edges == 0:
             return 0
-        if self.engine == "big_ba":
+        engine = self._resolve_engine()
+        if engine == "big_ba":
             # observation-driven Schur LM (no dense Hessian at any point):
             # the reference's default BA route -us at any scale
             # (src/slam_app/Main.cpp:203-207 -> LinearSolver_Schur.h:1623)
@@ -147,9 +179,15 @@ class LevenbergMarquardtSolver:
         while it < max_iterations:
             it += 1
             self.n_iterations += 1
-            if self.engine == "v3":
+            if engine == "v3":
                 with self.timer.phase("solve"):
                     new_states, denom, dx_norm, _ = self._v3_solver().damped_step(
+                        graph, alpha
+                    )
+                    dx_norm = float(dx_norm)
+            elif engine == "schur_sparse":
+                with self.timer.phase("solve"):
+                    new_states, denom, dx_norm, _ = self._ss_solver().damped_step(
                         graph, alpha
                     )
                     dx_norm = float(dx_norm)

@@ -113,3 +113,73 @@ def test_sparse_schur_no_dense_allocation():
         size = int(np.prod(dims)) if dims else 1
         worst = max(worst, size)
     assert worst < N * N / 4, f"found a near-dense tensor ({worst} elems, N={N})"
+
+
+def test_sparse_schur_dogleg_matches_dense_oracle():
+    """dogleg_step over the Schur slot == the dense _dogleg_step (same
+    blend, pred, and updated states) — VERDICT r3 #6 (solver-agnostic slot,
+    reference LinearSolver_Schur.h:1424)."""
+    from slampp_tpu.solvers.dogleg import _dogleg_step
+
+    system = _system(seed=11)
+    graph = system.snapshot()
+    for delta in (0.05, 5.0, 1e6):  # SD-clipped, blended, pure-GN regimes
+        ss = SparseSchurSolver(system, mixed_precision=False, refine_iters=0)
+        new_states, pred, dxn, chi2 = ss.dogleg_step(graph, delta)
+        ref_states, _, pred_ref, dxn_ref, chi2_ref = _dogleg_step(
+            graph, jnp.asarray(delta, jnp.float64)
+        )
+        assert abs(float(chi2) - float(chi2_ref)) < 1e-9 * max(float(chi2_ref), 1.0)
+        assert abs(float(pred) - float(pred_ref)) < 1e-6 * max(abs(float(pred_ref)), 1e-12), delta
+        assert abs(float(dxn) - float(dxn_ref)) < 1e-6 * max(float(dxn_ref), 1e-12), delta
+        for t in ref_states:
+            np.testing.assert_allclose(
+                np.asarray(new_states[t]), np.asarray(ref_states[t]), atol=1e-6,
+                err_msg=f"delta={delta} state mismatch for type {t}",
+            )
+
+
+def test_lm_routes_schur_sparse_no_dense_H(monkeypatch):
+    """LevenbergMarquardtSolver with use_schur on a landmark graph above the
+    threshold must run the sparse Schur engine and NEVER call
+    assemble_dense — and converge to the dense-LM chi2."""
+    from slampp_tpu.solvers.lm import LevenbergMarquardtSolver
+
+    monkeypatch.setenv("SLAMPP_SPARSE_SCHUR_THRESHOLD", "100")
+    system = _system(n_poses=150, n_landmarks=50, seed=7)
+    ref_system = _system(n_poses=150, n_landmarks=50, seed=7)
+
+    lm = LevenbergMarquardtSolver(system, use_schur=True)
+    assert lm._resolve_engine() == "schur_sparse"
+    calls = []
+    orig = assembly.assemble_dense
+    monkeypatch.setattr(
+        assembly, "assemble_dense",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    lm.optimize(max_iterations=20, min_dx_norm=1e-8)
+    assert not calls, "sparse-Schur LM called assemble_dense"
+
+    lm_ref = LevenbergMarquardtSolver(ref_system, use_schur=False)
+    lm_ref.optimize(max_iterations=20, min_dx_norm=1e-8)
+    # both run to convergence: same minimum (trajectories may differ in the
+    # mixed-precision engine, so per-iteration equality is not the contract)
+    assert abs(lm.chi2() - lm_ref.chi2()) < 5e-3 * max(lm_ref.chi2(), 1.0)
+
+
+def test_dogleg_routes_schur_sparse(monkeypatch):
+    from slampp_tpu.solvers.dogleg import DoglegSolver
+
+    monkeypatch.setenv("SLAMPP_SPARSE_SCHUR_THRESHOLD", "100")
+    system = _system(n_poses=150, n_landmarks=50, seed=8)
+    ref_system = _system(n_poses=150, n_landmarks=50, seed=8)
+
+    dl = DoglegSolver(system)
+    assert dl._resolve_engine() == "schur_sparse"
+    dl.optimize(max_iterations=8)
+    dl_ref = DoglegSolver(ref_system, engine="dense")
+    dl_ref.engine = "dense"
+    monkeypatch.setenv("SLAMPP_SPARSE_SCHUR_THRESHOLD", "1000000")
+    dl_ref.optimize(max_iterations=8)
+    c, cr = dl.chi2(), dl_ref.chi2()
+    assert abs(c - cr) < 1e-4 * max(cr, 1.0)
