@@ -74,6 +74,9 @@ def bench_venice():
     # unit_tests.sh:182-188)
     mean_track = int(os.environ.get("BENCH_VENICE_TRACK", "10"))
     t0 = time.perf_counter()
+    jax.block_until_ready(jax.numpy.zeros(8) + 1)
+    t_backend = time.perf_counter() - t0
+    t0 = time.perf_counter()
     cams, lms, oc, ol, uv, info, _ = make_venice_ba_arrays(
         n_cams=n_cams, n_points=n_points, mean_track=mean_track, seed=0
     )
@@ -121,6 +124,7 @@ def bench_venice():
                 "chi2_final": round(chi2_final, 2),
                 "first_step_s": round(t_first, 3),
                 "symbolic_s": round(t_sym, 3),
+                "backend_init_s": round(t_backend, 3),
                 "gen_s": round(t_gen, 3),
                 "sc_pair_buckets": [
                     list(b.idx.shape) for b in solver.plan.pair_grp.buckets
@@ -173,6 +177,12 @@ def bench_manhattan():
     target = int(os.environ.get("BENCH_TARGET", "64"))
     refine = int(os.environ.get("BENCH_REFINE", "0"))
     system = _manhattan_system(n_poses)
+
+    # backend init is its own phase: in round 3 it was silently billed to
+    # "symbolic" (474 s of TPU init/contention vs 1.16 s of real host work)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.numpy.zeros(8) + 1)
+    t_backend = time.perf_counter() - t0
 
     ps = PartitionedSolver(
         system, target=target, mixed_precision=True, refine_iters=refine
@@ -227,6 +237,8 @@ def bench_manhattan():
         "chi2_ok": chi2_ok,
         "first_solve_s": round(t_first, 3),
         "symbolic_s": round(t_symbolic, 3),
+        "backend_init_s": round(t_backend, 3),
+        "wall_to_first_chi2_s": round(t_backend + t_symbolic + t_first, 3),
         "n_poses": n_poses,
         "n_edges": system.n_edges,
         "solver": f"v3 partitioned target={target} refine={refine}",
