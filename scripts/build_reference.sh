@@ -13,6 +13,8 @@ mkdir -p "$BUILD" "$OUT"
 cd "$BUILD"
 cmake "$REF" -DCMAKE_BUILD_TYPE=Release > cmake.log 2>&1
 make slam_plus_plus -j"$(nproc)" > make.log 2>&1
+# the Sim(3) BA app (3DV'17) — used by the sim3 ref-parity case
+make incremental_ba_3dv -j"$(nproc)" >> make.log 2>&1 || true
 # relocate artifacts the reference CMake wrote into its own source tree
 if [ -d "$REF/bin" ]; then mv "$REF"/bin/* "$OUT"/ && rmdir "$REF/bin"; fi
 if [ -d "$REF/lib" ]; then rm -rf "$OUT/lib" && mv "$REF/lib" "$OUT/lib"; fi

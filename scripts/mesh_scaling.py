@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Virtual-mesh scaling efficiency of the distributed big-BA step.
+
+Real multi-chip hardware is unavailable in this environment; the only
+multi-device evidence possible is the 8-device VIRTUAL CPU mesh
+(xla_force_host_platform_device_count).  This script times the steady-state
+``distributed_big_ba_step`` on a fixed mid-size BA scene at 1/2/4/8 devices
+(one subprocess per count — the device count is an init-time XLA flag) and
+writes MESH_SCALING.json with per-count step times and parallel efficiency.
+
+Virtual devices share the host's cores, so ideal scaling is NOT expected;
+the artifact captures that the sharded program distributes work (step time
+must NOT grow ~linearly with device count, which it would if the
+computation were replicated instead of sharded).
+
+Usage: python scripts/mesh_scaling.py [--out MESH_SCALING.json]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.join(_HERE, "..")
+sys.path.insert(0, _REPO)
+
+SCENE = dict(n_cams=40, n_points=4000, obs_per_point=6, seed=0)
+
+
+def child(n_dev: int, reps: int):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_dev}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import slampp_tpu  # noqa: F401
+    import tempfile
+
+    from slampp_tpu.io.datasets import make_ba_scene
+    from slampp_tpu.io.parser import build_system, parse_file
+    from slampp_tpu.parallel import make_mesh
+    from slampp_tpu.parallel.distributed_ba import (
+        build_big_ba_shards,
+        distributed_big_ba_step,
+    )
+
+    text, _ = make_ba_scene(**SCENE)
+    with tempfile.NamedTemporaryFile("w", suffix=".g2o", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    mesh = make_mesh(n_dev, axis="lm")
+    t0 = time.perf_counter()
+    shards = build_big_ba_shards(system, mesh)
+    t_build = time.perf_counter() - t0
+
+    out = distributed_big_ba_step(shards, mesh, 1e-3)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = distributed_big_ba_step(shards, mesh, 1e-3)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "n_devices": n_dev, "step_s": dt, "build_s": t_build,
+        "n_obs": int(shards.obs_valid.sum()),
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(_REPO, "MESH_SCALING.json"))
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--counts", default="1,2,4,8")
+    args = ap.parse_args()
+
+    results = []
+    for n in [int(x) for x in args.counts.split(",")]:
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n),
+             "--reps", str(args.reps)],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(f"n={n} FAILED:\n{out.stderr[-800:]}", file=sys.stderr)
+            sys.exit(1)
+        results.append(json.loads(lines[-1]))
+        print(lines[-1], flush=True)
+
+    t1 = results[0]["step_s"]
+    for r in results:
+        n = r["n_devices"]
+        r["speedup_vs_1dev"] = round(t1 / r["step_s"], 3)
+        r["parallel_efficiency"] = round(t1 / r["step_s"] / n, 3)
+    artifact = {
+        "scene": SCENE,
+        "note": ("virtual CPU mesh (devices share host cores): captures that "
+                 "the program is sharded, not a hardware scaling projection"),
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        n = int(sys.argv[2])
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        child(n, reps)
+    else:
+        main()

@@ -143,6 +143,13 @@ def main(argv=None):
         n_steps = inc.n_solves
     else:
         system = build_system(records, problem=problem)
+        if args.robust:
+            # swap edge types for their robust (IRLS-weighted) variants
+            # (reference: compile-time CRobustify_ErrorNorm_Default policy,
+            # RobustUtils.h:60)
+            from slampp_tpu.models.robust import apply_robust_to_system
+
+            apply_robust_to_system(system, loss=args.robust)
         if solver_kind == "lambda-lm":
             # Venice-class mono BA: route through the observation-driven
             # Schur engine so no dense Hessian is ever materialized
@@ -203,6 +210,15 @@ def main(argv=None):
         d0 = marg.block_diag.get(0)
         if args.verbose and d0 is not None:
             print("marginals: vertex-0 covariance diag:", d0.diagonal())
+        # marginals.txt: one line per vertex, diagonal of its covariance
+        # block (reference CMarginalCovariance::Dump_Diagonal,
+        # include/slam/Marginals.h:7172)
+        with open("marginals.txt", "w") as f:
+            for vid in sorted(system.vertex_index):
+                blk = marg.block_diag.get(vid)
+                if blk is None:
+                    continue
+                f.write(" ".join("%.15g" % x for x in blk.diagonal()) + "\n")
 
     if not args.no_solution and args.solution:
         with open(args.solution, "w") as f:

@@ -117,3 +117,28 @@ def robustify(
             robust_weight_fn=fn,
         )
     )
+
+
+def apply_robust_to_system(system, loss: str = "huber",
+                           scale: float = DEFAULT_SCALE,
+                           on_chi2: bool = False) -> None:
+    """Swap every edge type in ``system`` for its robust variant in place —
+    the runtime analog of instantiating the reference's edge types with the
+    CRobustify_ErrorNorm_Default policy (RobustUtils.h:60; the reference
+    selects robustness at compile time, we rebind the registry name)."""
+    from slampp_tpu.graph.types import get_edge_type
+
+    renames = {}
+    for tname in list(system._edges.keys()):
+        et = get_edge_type(tname)
+        if et.robust_weight_fn is not None:
+            continue
+        new_name = f"{tname}_robust_{loss}"
+        try:
+            get_edge_type(new_name)
+        except KeyError:
+            robustify(et, loss=loss, scale=scale, on_chi2=on_chi2)
+        renames[tname] = new_name
+    for old, new in renames.items():
+        system._edges[new] = system._edges.pop(old)
+    system._dirty = True

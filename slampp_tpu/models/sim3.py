@@ -381,3 +381,44 @@ EDGE_P2C_INVDIST_SIM3_LO_ANGLE = register_edge_type(
         error_fn=_p2c_invdist_sim3_lo_angle,
     )
 )
+
+
+def embed_ba_system_sim3(ba_system):
+    """Re-express a parsed SE(3) mono-BA system in Sim(3) — the embedding the
+    reference's 3DV'17 app performs on standard BA datasets
+    (src/incremental_ba_3dv/Main.cpp:236-259: SE(3) camera -> TSim3 with
+    scale 1 -> Invert -> log; landmarks stay global XYZ; observations become
+    CEdgeP2C_XYZ_Sim3_G).  Returns a new GraphSystem over camsim3/xyz.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from slampp_tpu.graph.system import GraphSystem
+
+    out = GraphSystem()
+    for vid in ba_system._vorder:
+        t, _ = ba_system.vertex_index[vid]
+        st = ba_system.vertex_state(vid)
+        if t == "cam":
+            # our parsed cam state is w2c (t, aa) + intrinsics; the Sim(3)
+            # camera is camera-to-world log coordinates (project_p2c_xyz)
+            w2c = jnp.concatenate([jnp.asarray(st[0:6]), jnp.ones(1)])
+            c2w = sim3.inverse_tRs(w2c)
+            log = np.asarray(sim3.sim3_log(c2w))
+            out.add_vertex(
+                "camsim3", vid, np.concatenate([log, st[6:11]]),
+                const=ba_system._vconst.get(vid, False),
+            )
+        elif t == "xyz":
+            out.add_vertex("xyz", vid, st,
+                           const=ba_system._vconst.get(vid, False))
+        else:
+            raise ValueError(f"embed_ba_system_sim3: unsupported type {t}")
+    rec = ba_system._edges.get("edge_p2c", {"vids": []})
+    for e, vids in enumerate(rec["vids"]):
+        out.add_edge(
+            "edge_p2c_xyz_sim3_g", tuple(vids), rec["meas"][e],
+            rec["sigma_inv"][e],
+        )
+    return out

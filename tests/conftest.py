@@ -17,3 +17,32 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import slampp_tpu  # noqa: E402,F401  (enables x64 at import)
+
+
+# ---------------------------------------------------------------- quick tier
+# One representative test per subsystem (pytest -m quick, target < 90 s) —
+# runs on every commit; the full suite stays the pre-snapshot gate.
+_QUICK = {
+    ("test_containers", "test_block_sparse_matrix_ops"),
+    ("test_geometry", "test_se2_jacobians_match_autodiff"),
+    ("test_solvers_se2", "test_parser_manhattan_roundtrip"),
+    ("test_solvers_se2", "test_gn_reduces_chi2_and_matches_scipy_oracle"),
+    ("test_partitioned", "test_v3_exact_matches_dense_oracle[120-16]"),
+    ("test_schur_sparse", "test_sparse_schur_step_matches_dense_oracle"),
+    ("test_marginals", "test_dense_marginals_is_inverse"),
+    ("test_mvg", "test_triangulation_exact"),
+    ("test_sim3_robust", "test_sim3_compose_inverse"),
+    ("test_block_unit", "test_random_gemm_vs_dense"),
+    ("test_block_unit", "test_random_block_cholesky_vs_dense"),
+    ("test_rocv_spheron", "test_rocv_end_to_end"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        keys = {(mod, item.name), (mod, item.name.split("[")[0])}
+        if keys & _QUICK:
+            item.add_marker(_pytest.mark.quick)

@@ -47,3 +47,16 @@ def test_incremental_ba_3dv_example():
     out = _run("incremental_ba_3dv_example.py", "--cams", "5", "--points", "40",
                timeout=900)
     assert "consistency markers processed" in out
+
+
+def test_schur_orderings_study():
+    out = _run("schur_orderings_study.py", "--poses", "120", "--landmarks", "40")
+    assert "vs best" in out
+    # min-degree must beat natural ordering on a loopy landmark graph
+    import re
+    flops = {}
+    for line in out.splitlines():
+        m = re.match(r"(chol [a-z-]+|Schur .+?)\s{2,}([0-9.e+]+)\s", line)
+        if m:
+            flops[m.group(1).strip()] = float(m.group(2))
+    assert flops["chol min-degree"] < flops["chol natural"]
