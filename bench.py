@@ -311,10 +311,13 @@ def bench_incremental():
     steps = inc.n_solves
     steps_per_sec = steps / dt
 
-    # reference -fL measured on this machine on the same generated file
-    # (BENCH_NOTES.md; falls back to the RSS'13-published manhattanOlson
-    # number 1600/3.046 s if no same-machine measurement is recorded)
-    ref_sps = float(os.environ.get("BENCH_INC_REF_SPS", "0"))
+    # reference -fL measured on THIS machine on the SAME generated file
+    # (BENCH_NOTES.md): 800-pose seed-0 file, `slam_plus_plus -fL -nsp 1 -po`
+    # processes it in 0.0688 s with ~84 closure-gated solves -> 1221 solve/s.
+    # CAVEAT: the reference only solves on loop closures (its -fL semantics,
+    # and the RSS'13 1600-steps-of-3500 rows); ours solves EVERY vertex, so
+    # both sides are counted by solves actually performed.
+    ref_sps = float(os.environ.get("BENCH_INC_REF_SPS", "1221"))
     published_sps = 1600 / 3.046
     _emit(
         {
@@ -327,6 +330,8 @@ def bench_incremental():
                 "steps": int(steps),
                 "total_s": round(dt, 2),
                 "chi2_final": round(float(chi2), 2),
+                "cadence": "every-vertex (ref gates on closures; both sides "
+                           "counted by solves performed)",
                 "ref_same_machine_sps": ref_sps or None,
                 "published_rss13_sps": round(published_sps, 1),
             },

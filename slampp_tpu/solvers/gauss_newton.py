@@ -136,6 +136,11 @@ class GaussNewtonSolver:
             with self.timer.phase("symbolic"):
                 self._sparse_schur.ensure_symbolic()
         graph = self._snapshot()
+        if self.pad and kind in ("native", "schur_sparse"):
+            # the native/sparse-Schur engines build exact-size routing tables
+            # from the system; a padded snapshot (capacity-bucketed edge
+            # arrays) would not line up with them
+            graph = self.system.snapshot(pad=False)
         plan = self._plan() if kind == "schur" else None
         applied = 0
         for _ in range(max_iterations):

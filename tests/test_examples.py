@@ -60,3 +60,15 @@ def test_schur_orderings_study():
         if m:
             flops[m.group(1).strip()] = float(m.group(2))
     assert flops["chol min-degree"] < flops["chol natural"]
+
+
+def test_compact_pose_ijrr_study():
+    out = _run("compact_pose_ijrr_study.py", "--poses", "150")
+    import re
+    comp = int(re.search(r"compact:\s+(\d+) poses", out).group(1))
+    full = int(re.search(r"full:\s+(\d+) poses", out).group(1))
+    kept = int(re.search(r"loops kept: (\d+)", out).group(1))
+    ate = float(re.search(r"keyframe ATE compact-vs-full: ([0-9.]+)", out).group(1))
+    assert comp < full          # poses actually pruned
+    assert kept > 0             # some loops accepted through the gain gate
+    assert ate < 1.0            # compact trajectory tracks the full one
