@@ -357,22 +357,14 @@ def build_block_plan(
 def _remapped_group_plan(starts, ends, order):
     """Grouped-segment plan whose index rows point DIRECTLY at the
     unpermuted term array: segment [starts, ends) positions in the sorted
-    order are remapped through ``order`` (dummy -> T)."""
-    from slampp_tpu.ops.segments import GroupBucket, GroupedSegments, plan_grouped_segments
+    order are remapped through ``order`` (dummy -> T) ON THE HOST (reading
+    device buckets back cost ~86 s/array over the axon tunnel — the bulk of
+    the round-3 474 s "symbolic" phase)."""
+    from slampp_tpu.ops.segments import plan_grouped_segments
 
     T = len(order)
-    grp = plan_grouped_segments(starts, ends, T)
     order_pad = np.concatenate([np.asarray(order, np.int64), [T]])
-    return GroupedSegments(
-        m=T, n_seg=grp.n_seg,
-        buckets=tuple(
-            GroupBucket(
-                seg_ids=b.seg_ids,
-                idx=jnp.asarray(order_pad[np.asarray(b.idx)], jnp.int32),
-            )
-            for b in grp.buckets
-        ),
-    )
+    return plan_grouped_segments(starts, ends, T, remap=order_pad)
 
 
 def assemble_blocks(graph: GraphArrays, bp: BlockPlan):

@@ -150,17 +150,11 @@ def build_ba_schur_plan_arrays(
     oc_sorted = oc[cam_perm]
     cam_starts = np.searchsorted(oc_sorted, np.arange(n_c))
     cam_ends = np.searchsorted(oc_sorted, np.arange(n_c) + 1)
-    # camera plan with DIRECT observation indices (remap through cam sort)
-    cam_grp = plan_grouped_segments(cam_starts, cam_ends, m)
+    # camera plan with DIRECT observation indices (host-side remap through
+    # the cam sort — reading device buckets back costs a full tunnel
+    # round-trip per array, see plan_grouped_segments)
     perm_pad = np.concatenate([cam_perm, [m]]).astype(np.int64)
-    cam_grp = GroupedSegments(
-        m=m, n_seg=n_c,
-        buckets=tuple(
-            type(b)(seg_ids=b.seg_ids,
-                    idx=jnp.asarray(perm_pad[np.asarray(b.idx)], jnp.int32))
-            for b in cam_grp.buckets
-        ),
-    )
+    cam_grp = plan_grouped_segments(cam_starts, cam_ends, m, remap=perm_pad)
 
     # UNORDERED observation pairs sharing a landmark (e <= f), vectorized:
     # SC symmetry (BD_e B_f^T = (BD_f B_e^T)^T since D is symmetric) lets the

@@ -44,18 +44,26 @@ class GroupedSegments(NamedTuple):
 
 def plan_grouped_segments(
     starts: np.ndarray, ends: np.ndarray, m: int, bucket_base: int = 4,
-    min_cap: int = 4,
+    min_cap: int = 4, remap: np.ndarray = None,
 ) -> GroupedSegments:
     """Host planner: segment [starts[g], ends[g]) -> padded index rows.
 
     Segments are bucketed by size class (powers of ``bucket_base``) so the
     padding waste is bounded by ``bucket_base``x; empty segments are skipped
     (their reduction is zero via the dummy row).
+
+    ``remap`` (length m+1, entry m = the target dummy) relabels index rows
+    ON THE HOST before upload.  Callers must NOT remap by reading the
+    device buckets back: one np.asarray on a device array is a full
+    device->host transfer — six of them through the remote-TPU tunnel cost
+    ~500 s of the round-3 "symbolic" time.
     """
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
     n_seg = len(starts)
     sizes = ends - starts
+    if remap is not None:
+        remap = np.asarray(remap, np.int64)
     buckets: List[GroupBucket] = []
     cap = min_cap
     remaining = np.flatnonzero(sizes > 0)
@@ -70,6 +78,8 @@ def plan_grouped_segments(
             cand = starts[in_b][:, None] + rng
             mask = rng < sizes[in_b][:, None]
             idx[mask] = cand[mask]
+            if remap is not None:
+                idx = remap[idx]
             buckets.append(
                 GroupBucket(
                     seg_ids=jnp.asarray(in_b, jnp.int32),
