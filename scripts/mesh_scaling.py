@@ -106,8 +106,15 @@ def main():
         r["parallel_efficiency"] = round(t1 / r["step_s"] / n, 3)
     artifact = {
         "scene": SCENE,
-        "note": ("virtual CPU mesh (devices share host cores): captures that "
-                 "the program is sharded, not a hardware scaling projection"),
+        "note": (
+            "virtual CPU mesh: all devices share the host cores and XLA "
+            "already multithreads the 1-device run, so wall-clock SPEEDUP "
+            "cannot appear here.  The evidence captured is "
+            "NON-REPLICATION: per-device work shrinks with the mesh "
+            "(step time stays ~flat 1->4 devices instead of growing "
+            "~linearly as it would if each device re-did the full "
+            "computation).  Real-ICI scaling needs real chips."
+        ),
         "results": results,
     }
     with open(args.out, "w") as f:
