@@ -37,6 +37,9 @@ def build_arg_parser():
     p.add_argument("-po", "--pose-only", action="store_true", help="pose-only mode")
     p.add_argument("-us", "--use-schur", action="store_true", help="Schur complement solve")
     p.add_argument("-dm", "--do-marginals", action="store_true", help="marginal covariances")
+    p.add_argument("-dsm", "--dump-system-matrix", action="store_true",
+                   help="write the system matrix as system.mtx (MatrixMarket)"
+                        " and a sparsity raster system_matrix.png")
     p.add_argument("-mnsi", "--max-nonlinear-solve-iters", type=int, default=5)
     p.add_argument("-nset", "--nonlinear-solve-error-thresh", type=float, default=0.01)
     p.add_argument("-mfnsi", "--max-final-nonlinear-solve-iters", type=int, default=None)
@@ -201,6 +204,30 @@ def main(argv=None):
     print(f"denormalized chi2 error: {chi2:.2f}")
     if not args.no_detailed_timing:
         solver.dump()
+
+    if args.dump_system_matrix:
+        # reference -dsm: system.mtx (MatrixMarket) + sparsity raster
+        # (Main.h:126,1449-1493 writes system.mtx and system_matrix.tga)
+        import numpy as _np
+
+        from slampp_tpu.core import assembly as _asm
+        from slampp_tpu.core.bsm import BlockSparseMatrix
+        from slampp_tpu.graph.types import get_vertex_type as _gvt
+
+        H, _, _ = _asm.assemble_dense(system.snapshot())
+        dims = {_gvt(t).dim for t, _ in system.vertex_index.values()}
+        bs_u = dims.pop() if len(dims) == 1 else 1
+        import scipy.sparse as _sp
+
+        Hs = _sp.csr_matrix(_np.asarray(H))
+        bsm = BlockSparseMatrix.from_sparse(Hs, bs_u, bs_u)
+        bsm.save_matrix_market("system.mtx")
+        try:
+            bsm.rasterize("system_matrix.png")
+        except Exception:
+            pass
+        print(f"system matrix: {bsm.shape[0]}x{bsm.shape[1]}, "
+              f"{bsm.nnz_blocks} blocks -> system.mtx")
 
     if args.do_marginals:
         from slampp_tpu.marginals import MarginalCovariance
