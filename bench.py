@@ -274,7 +274,15 @@ def bench_manhattan():
 
 def bench_incremental():
     """Windowed incremental solve on manhattan3500, every-vertex cadence —
-    the -fL role (BASELINE.md row 20: 1600 steps / 3.046 s RSS'13)."""
+    the -fL role (BASELINE.md row 20: 1600 steps / 3.046 s RSS'13).
+
+    Runs on the HOST CPU platform: the windowed solver's per-step solves are
+    latency-bound and host-pinned by design (incremental_windowed.py
+    live_on_host), and forcing the whole child onto the cpu platform keeps
+    its jit cache keys identical to the CPU test tier (under the axon
+    platform the same cpu-backend programs recompile cold — measured 1270 s
+    vs ~20 s for the identical workload)."""
+    os.environ.setdefault("BENCH_PLATFORM", "cpu")
     _child_setup()
 
     from slampp_tpu.graph.system import GraphSystem
@@ -354,7 +362,10 @@ def main():
         _CHILDREN[sys.argv[2]]()
         return
 
-    jobs = ["venice", "incremental", "manhattan"]
+    # incremental first: it is host-dominated and its backend init has been
+    # observed to wedge when started right after the venice child tears
+    # down 1.1M-obs device state; manhattan stays last (primary metric)
+    jobs = ["incremental", "venice", "manhattan"]
     if os.environ.get("BENCH_SKIP_VENICE", "") == "1":
         jobs.remove("venice")
     if os.environ.get("BENCH_SKIP_INCREMENTAL", "") == "1":
