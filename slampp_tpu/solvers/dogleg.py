@@ -148,7 +148,18 @@ class DoglegSolver:
                         graph, self.radius, self.relin_threshold
                     )
                 dx_norm = float(dx_norm)
-            if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
+            if not jnp.isfinite(dx_norm):
+                # reference aborts iterating when the factorization fails
+                # ("not pos def, aborting", NonlinearSolver_Lambda.h:658-660)
+                import sys as _sys
+
+                print(
+                    "warning: system is not positive definite / numerical "
+                    "failure in the linear solve, aborting iterations",
+                    file=_sys.stderr,
+                )
+                break
+            if dx_norm <= min_dx_norm:
                 break
             candidate = graph.replace_states(new_states)
             f_error = float(_chi2(candidate))

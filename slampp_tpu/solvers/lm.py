@@ -204,7 +204,18 @@ class LevenbergMarquardtSolver:
                     else:
                         new_states, dx, denom, dx_norm = _damped_step(graph, H, g, alpha)
                     dx_norm = float(dx_norm)
-            if dx_norm <= min_dx_norm or not jnp.isfinite(dx_norm):
+            if not jnp.isfinite(dx_norm):
+                # reference aborts iterating when the factorization fails
+                # ("not pos def, aborting", NonlinearSolver_Lambda.h:658-660)
+                import sys as _sys
+
+                print(
+                    "warning: system is not positive definite / numerical "
+                    "failure in the linear solve, aborting iterations",
+                    file=_sys.stderr,
+                )
+                break
+            if dx_norm <= min_dx_norm:
                 break
             candidate = graph.replace_states(new_states)
             f_error = float(_chi2(candidate))

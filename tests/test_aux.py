@@ -192,3 +192,27 @@ def test_spcg_solver_matches_dense_gn():
     assert 0.0 < s.tree_fraction < 1.0  # strictly a subgraph preconditioner
     chi2 = s.chi2()
     np.testing.assert_allclose(chi2, chi2_ref, rtol=1e-6)
+
+
+def test_lm_aborts_on_numerical_failure(capsys):
+    """Failure-detection parity: a non-finite step aborts iterating with the
+    reference's warning (NonlinearSolver_Lambda.h:658-660) instead of
+    looping on NaNs."""
+    import numpy as np
+
+    from slampp_tpu.graph.system import GraphSystem
+    from slampp_tpu.solvers.lm import LevenbergMarquardtSolver
+    import slampp_tpu.models.se2  # noqa: F401
+
+    system = GraphSystem()
+    system.add_vertex("pose2d", 0, np.zeros(3))
+    system.add_vertex("pose2d", 1, np.ones(3))
+    # an information matrix with a NaN poisons the solve -> non-finite dx
+    bad_info = np.eye(3)
+    bad_info[0, 0] = np.nan
+    system.add_edge("edge_pose2d", (0, 1), np.ones(3), bad_info)
+    lm = LevenbergMarquardtSolver(system)
+    applied = lm.optimize(5)
+    captured = capsys.readouterr()
+    assert applied == 0
+    assert "aborting iterations" in captured.err
