@@ -184,3 +184,56 @@ def partition_graph(
             "graph is not chain-like — use engine='v2'"
         )
     return part
+
+
+def partition_graph_forced(
+    n: int,
+    pairs: Sequence[Tuple[int, int]],
+    forced_separator: Sequence[int],
+    target: int = 64,
+    max_sep_frac: float = 0.45,
+) -> Partition:
+    """Partition with a FORCED separator subset: the given blocks always land
+    in the separator; the remainder is partitioned normally (the quality
+    gate applies to the remainder only).
+
+    This is the geometry the windowed incremental solver needs: frozen-chunk
+    Schur priors attach to designated separator vertices, so those vertices
+    must live in the dense separator core where the prior can be added
+    (reference analog: CLinearSolver_Schur's guided ordering pins the
+    eliminated set, LinearSolver_Schur.h:725)."""
+    forced = np.asarray(sorted({int(f) for f in forced_separator}), np.int64)
+    if len(forced) == 0:
+        return partition_graph(n, pairs, target=target,
+                               max_sep_frac=max_sep_frac)
+    if len(forced) and (forced[0] < 0 or forced[-1] >= n):
+        raise ValueError("forced separator ids out of range")
+    keep = np.setdiff1d(np.arange(n, dtype=np.int64), forced)
+    rel = -np.ones(n, np.int64)
+    rel[keep] = np.arange(len(keep))
+    sub_pairs = sorted({
+        (max(int(rel[i]), int(rel[j])), min(int(rel[i]), int(rel[j])))
+        for i, j in pairs
+        if rel[i] >= 0 and rel[j] >= 0 and rel[i] != rel[j]
+    })
+    sub = partition_graph(len(keep), sub_pairs, target=target,
+                          max_sep_frac=max_sep_frac)
+    parts = [keep[p] for p in sub.parts]
+    separator = np.asarray(
+        sorted(set(keep[sub.separator].tolist()) | set(forced.tolist())),
+        np.int64,
+    )
+    sep_set = set(separator.tolist())
+    owner = {}
+    for k, p in enumerate(parts):
+        for b in p.tolist():
+            owner[b] = k
+    bnd = [set() for _ in parts]
+    for i, j in pairs:
+        i, j = int(i), int(j)
+        if i in sep_set and j in owner:
+            bnd[owner[j]].add(i)
+        elif j in sep_set and i in owner:
+            bnd[owner[i]].add(j)
+    boundary = [np.asarray(sorted(s), np.int64) for s in bnd]
+    return Partition(parts=parts, separator=separator, boundary=boundary, n=n)

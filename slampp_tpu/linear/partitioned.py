@@ -88,12 +88,18 @@ class PartitionedSolver:
         mixed_precision: bool = True,
         refine_iters: int = 1,
         damping_rel: float = 1e-6,
+        forced_separator=None,
     ):
+        """``forced_separator``: vertex ids that must land in the dense
+        separator core (enables gn_step_prior — the windowed incremental
+        solver's frozen-chunk Schur prior attaches there)."""
         self.system = system
         self.target = target
         self.mixed_precision = mixed_precision
         self.refine_iters = refine_iters
         self.damping_rel = damping_rel
+        self.forced_separator = forced_separator
+        self.separator_blocks = None  # sorted block ids, set by symbolic()
         self._symbolic_key = None
         self.block_plan = None
         self.plan: V3Plan | None = None
@@ -122,7 +128,15 @@ class PartitionedSolver:
             raise ValueError(f"uniform block size required, got dims {vt_dims}")
         bs = vt_dims.pop()
 
-        plan, slot_of, inv = build_v3_geometry(n, pairs, bs, self.target)
+        forced = None
+        if self.forced_separator is not None:
+            forced = [block_of_vid[v] for v in self.forced_separator
+                      if v in block_of_vid]
+        extras = {}
+        plan, slot_of, inv = build_v3_geometry(
+            n, pairs, bs, self.target, forced_separator=forced, extras=extras
+        )
+        self.separator_blocks = extras["separator"]
         bp = block_assembly.build_block_plan(
             system, slot_of, np.arange(n, dtype=np.int64), plan.nnzb, inv,
             block_of_vid, panel=1,
@@ -151,6 +165,46 @@ class PartitionedSolver:
             graph, self.block_plan, self.plan, n_iters, self.refine_iters,
             self.damping_rel, self.mixed_precision,
         )
+
+    def gn_step_prior(self, graph: GraphArrays, sc_prior, rhs_prior,
+                      update_threshold=0.0):
+        """One GN step on H + prior: H[sep,sep] += sc_prior, g[sep] +=
+        rhs_prior, dx = -(H+P)^-1 (g+p) — the windowed incremental live
+        solve, sparsely (the dense H[live] route this replaces allocated and
+        factored the full padded live system every step).
+
+        sc_prior: (Ms, Ms) in SEPARATOR-FRAME scalar coordinates (rank
+        order of self.separator_blocks x block size, zero-padded to Ms);
+        rhs_prior: (Ms,) in the same frame, g-sign convention.
+        Returns (new_states, dx_norm, chi2)."""
+        self.ensure_symbolic()
+        key = ("v3prior", id(self.block_plan), self.damping_rel,
+               self.mixed_precision)
+        fn = _step_cache.get(key)
+        if fn is None:
+            bp, p = self.block_plan, self.plan
+            dr, mixed = self.damping_rel, self.mixed_precision
+
+            def impl(g, sc, rp, thr):
+                vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(
+                    g, bp, hessian_f32=mixed
+                )
+                # b64 = -g fine => separator rhs add is -rhs_prior
+                x = _v3_solve_refined(
+                    p, vals, -rhs, 0, dr, mixed,
+                    sc_prior=sc, gs_prior=-rp,
+                )
+                dx = block_assembly.scatter_dx(bp, x, bp.bs)
+                from slampp_tpu.core.assembly import apply_update_gated
+
+                new_states = apply_update_gated(g, dx, thr)
+                return new_states, jnp.linalg.norm(dx), chi2
+
+            fn = jax.jit(impl)
+            _step_cache[key] = fn
+        return fn(graph, jnp.asarray(sc_prior, jnp.float64),
+                  jnp.asarray(rhs_prior, jnp.float64),
+                  jnp.asarray(update_threshold, jnp.float64))
 
     def damped_step(self, graph: GraphArrays, alpha: float):
         """One LM-damped step (lambda + alpha I) through the partitioned
@@ -241,7 +295,8 @@ class PartitionedSolver:
 
 
 def build_v3_geometry(n, pairs, bs: int, target: int = 64,
-                      max_sep_frac: float = 0.45):
+                      max_sep_frac: float = 0.45, forced_separator=None,
+                      extras: dict = None):
     """Build the partitioned-solver geometry for an arbitrary block-sparse
     SPD system: ``n`` blocks of uniform size ``bs``, off-diagonal pattern
     ``pairs`` (original block indices, orientation-free).
@@ -252,9 +307,21 @@ def build_v3_geometry(n, pairs, bs: int, target: int = 64,
     from ``n``).  Shared by :class:`PartitionedSolver` (graph systems) and
     the general sparse Schur solver (linear/schur_sparse.py), playing the
     role of the reference's symbolic decomposition
-    (LinearSolver_UberBlock.h:272)."""
-    part = part_mod.partition_graph(n, sorted(pairs), target=target,
-                                    max_sep_frac=max_sep_frac)
+    (LinearSolver_UberBlock.h:272).
+
+    ``forced_separator``: block ids that must land in the dense separator
+    core (where a Schur prior can be injected — see gn_step_prior).
+    ``extras``: optional dict filled with {"separator": sorted block ids}.
+    """
+    if forced_separator is not None and len(forced_separator):
+        part = part_mod.partition_graph_forced(
+            n, sorted(pairs), forced_separator, target=target,
+            max_sep_frac=max_sep_frac)
+    else:
+        part = part_mod.partition_graph(n, sorted(pairs), target=target,
+                                        max_sep_frac=max_sep_frac)
+    if extras is not None:
+        extras["separator"] = np.asarray(part.separator, np.int64)
     # permuted order: part interiors (contiguous), then separator
     order = np.concatenate([*(part.parts or [np.zeros(0, np.int64)]), part.separator]).astype(np.int64)
     inv = np.empty(n, np.int64)
@@ -428,13 +495,21 @@ def _frames(p: V3Plan, Gv, rhsf, dtype):
     return A, U, Ass, gk, gs
 
 
-def _factor32(p: V3Plan, vals32, rhs32):
-    """f32 factorization phase; returns everything the repeated solves need."""
+def _factor32(p: V3Plan, vals32, rhs32, sc_prior=None, gs_prior=None):
+    """f32 factorization phase; returns everything the repeated solves need.
+
+    ``sc_prior`` (Ms, Ms) / ``gs_prior`` (Ms,) add to the separator system /
+    rhs frames (the windowed incremental solver's frozen-chunk Schur prior;
+    must be pre-scaled to match the dtype/equilibration of vals32/rhs32)."""
     bs = p.bs
     valsT = jnp.swapaxes(vals32, 1, 2)
     Gv = jnp.concatenate([vals32, valsT, jnp.zeros((1, bs, bs), vals32.dtype)], 0)
     rhsf = jnp.concatenate([rhs32, jnp.zeros((1, bs), rhs32.dtype)], 0)
     A, U, Ass, gk, gs = _frames(p, Gv, rhsf, vals32.dtype)
+    if sc_prior is not None:
+        Ass = Ass + sc_prior.astype(Ass.dtype)
+    if gs_prior is not None:
+        gs = gs + gs_prior.astype(gs.dtype)
 
     L = dk.chol_batched(A)  # (K, M, M) pallas
     B = jnp.concatenate([U, gk[..., None]], -1)
@@ -526,19 +601,27 @@ def _spmv_fine(p: V3Plan, vals, x):
 
 
 def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
-                      mixed: bool = True):
+                      mixed: bool = True, sc_prior=None, gs_prior=None):
     """Partitioned solve: equilibrated f32 + f64 refinement (``mixed``) or
     exact f64 end-to-end (``mixed=False`` — matches the dense oracle to
     ~1e-8 including the near-singular gauge mode, which the f32 path leaves
     inexact; that mode is invisible to chi2/ATE, see tests/test_partitioned).
 
-    vals64: (nnzb+1, bs, bs) fine lambda blocks; b64: (n+1, bs)."""
+    vals64: (nnzb+1, bs, bs) fine lambda blocks; b64: (n+1, bs).
+
+    ``sc_prior`` (Ms, Ms) / ``gs_prior`` (Ms,) add to the separator system /
+    rhs in the b64 sign convention (un-equilibrated; scaled here).  The f64
+    refinement does not model the prior, so refine must be 0 with a prior.
+    """
     bs = p.bs
     n = p.n
+    if sc_prior is not None and refine:
+        raise ValueError("iterative refinement does not model sc_prior; "
+                         "use refine=0")
     if not mixed:
         vals_f = vals64[: p.nnzb]
         b_f = jnp.concatenate([b64[:n], jnp.zeros((1, bs), b64.dtype)], 0)
-        L, WU, y, Ls, rhs_s = _factor32(p, vals_f, b_f)
+        L, WU, y, Ls, rhs_s = _factor32(p, vals_f, b_f, sc_prior, gs_prior)
         return _backsolve(p, L, WU, Ls, y, rhs_s)
     d = jnp.arange(bs)
     diag_entries = vals64[:n, d, d]  # (n, bs)
@@ -553,7 +636,20 @@ def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
     b_s = (s * b64[:n]).astype(jnp.float32)
     b32 = jnp.concatenate([b_s, jnp.zeros((1, bs), jnp.float32)], 0)
 
-    L, WU, y, Ls, rhs_s = _factor32(p, vals32, b32)
+    scp = gsp = None
+    if sc_prior is not None:
+        # equilibrate the prior with the separator rows' scale factors
+        sp = s[p.gs_idx].reshape(-1)[: p.SB * bs]
+        sp = jnp.concatenate(
+            [sp, jnp.ones(p.Ms - p.SB * bs, s.dtype)]
+        )
+        scp = (sp[:, None] * sc_prior * sp[None, :]).astype(jnp.float32)
+        if gs_prior is not None:
+            gsp = (sp * gs_prior).astype(jnp.float32)
+    elif gs_prior is not None:
+        raise ValueError("gs_prior requires sc_prior")
+
+    L, WU, y, Ls, rhs_s = _factor32(p, vals32, b32, scp, gsp)
     z = _backsolve(p, L, WU, Ls, y, rhs_s)
     x = s * z.astype(jnp.float64)
 

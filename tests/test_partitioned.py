@@ -172,3 +172,51 @@ def test_lm_and_dogleg_v3_engine_converge():
     dl = DoglegSolver(_system(n_poses=250, seed=1), engine="v3", initial_radius=10.0)
     dl.optimize(max_iterations=20)
     assert abs(dl.chi2() - chi_opt) / chi_opt < 1e-4
+
+
+def test_v3_forced_separator_prior_matches_dense():
+    """gn_step_prior: forced separator blocks + a dense Schur prior on the
+    separator == the dense solve of (H + P) x = -(g + p) — the windowed
+    incremental live solve contract (VERDICT r3 #6: sparse live solve)."""
+    system = _system(160, seed=4)
+    vorder = list(system._vorder)
+    forced = vorder[10:20:3] + vorder[100:110:4]  # scattered vertex ids
+    ps = PartitionedSolver(system, target=16, mixed_precision=False,
+                           refine_iters=0, forced_separator=forced)
+    ps.symbolic()
+    sep = [int(b) for b in ps.separator_blocks]
+    for v in forced:
+        assert vorder.index(v) in sep
+
+    bs = 3
+    SB = len(sep)
+    Ms = ps.plan.Ms
+    rng = np.random.default_rng(0)
+    G = rng.normal(size=(SB * bs, SB * bs))
+    P_sep = G @ G.T + np.eye(SB * bs)  # SPD prior over the separator frame
+    p_sep = rng.normal(size=SB * bs)
+    sc = np.zeros((Ms, Ms))
+    sc[: SB * bs, : SB * bs] = P_sep
+    rp = np.zeros(Ms)
+    rp[: SB * bs] = p_sep
+
+    graph = system.snapshot()
+    new_states, dxn, chi2 = ps.gn_step_prior(graph, sc, rp)
+
+    # dense oracle: scatter the prior at the separator blocks' scalar offsets
+    H, g, chi2_ref = assembly.assemble_dense(graph)
+    H = np.asarray(H).copy()
+    g = np.asarray(g).copy()
+    offsets, total = system._layout()
+    idx = np.concatenate([
+        np.arange(offsets[vorder[b]], offsets[vorder[b]] + bs) for b in sep
+    ])
+    H[np.ix_(idx, idx)] += P_sep
+    g[idx] += p_sep
+    dx = np.linalg.solve(H, -g)
+    ref_states = assembly.apply_update(graph, jnp.asarray(dx))
+    assert abs(float(chi2) - float(chi2_ref)) < 1e-9 * max(float(chi2_ref), 1.0)
+    for t in ref_states:
+        np.testing.assert_allclose(
+            np.asarray(new_states[t]), np.asarray(ref_states[t]), atol=1e-6,
+            err_msg=f"state mismatch for type {t}")
