@@ -116,6 +116,14 @@ class WindowedIncrementalSolver:
         self.full_solve_every = int(os.environ.get("SLAMPP_INC_FULL_EVERY", "16"))
         self._tail_gran = 32
         self._steps_since_full = 0
+        # full live solve engine: "dense" (padded dense H — stable jit
+        # shapes across live growth, the default) or "v3" (partitioned
+        # sparse solve with the frozen SC prior injected into the separator
+        # core via forced_separator/gn_step_prior — no dense H, but the v3
+        # plan's static dims change per live structure, so each rebuild
+        # compiles a fresh program: opt-in for long sessions / big windows)
+        self.live_engine = os.environ.get("SLAMPP_INC_LIVE_ENGINE", "dense")
+        self._live_v3 = None
         self.chunk = chunk
         self.window = window
         self.solve_period = solve_period
@@ -467,16 +475,95 @@ class WindowedIncrementalSolver:
         self._live = self._subsystem(live_vids, edges, anchored=anchored)
         self._live_dirty = False
 
+    def _solve_v3(self, live, bs) -> bool:
+        """Full live solve through the partitioned sparse engine: separator
+        vertices forced into the dense core, the frozen-chunk Schur prior
+        injected there (PartitionedSolver.gn_step_prior).  Never forms the
+        dense live Hessian.  Returns False on non-chain-like live graphs
+        (caller falls back to the padded dense path)."""
+        from slampp_tpu.linear.partitioned import PartitionedSolver
+
+        if self._live_v3 is not None and self._live_v3[2] != len(self.sep_ids):
+            self._live_v3 = None  # separator grew without a live rebuild
+        if self._live_v3 is None:
+            with self.timer.phase("v3_symbolic"):
+                forced = [v for v in self.sep_ids if live.has_vertex(v)]
+                ps = PartitionedSolver(
+                    live, target=32, mixed_precision=False, refine_iters=0,
+                    forced_separator=forced,
+                )
+                try:
+                    ps.symbolic()
+                except ValueError:
+                    return False
+                # sc (sep_ids order) -> v3 separator frame scalar map
+                vorder = list(live._vorder)
+                bidx = {v: i for i, v in enumerate(vorder)}
+                r_of_block = {
+                    int(b): r for r, b in enumerate(ps.separator_blocks)
+                }
+                rows = []
+                for v in self.sep_ids:
+                    if v not in bidx:
+                        rows.append(None)
+                        continue
+                    r = r_of_block[bidx[v]]
+                    rows.append(np.arange(r * bs, (r + 1) * bs))
+                self._live_v3 = (ps, rows, len(self.sep_ids))
+        ps, rows, _ = self._live_v3
+
+        n0 = self._sc.shape[0]
+        Ms = ps.plan.Ms
+        sc_v3 = np.zeros((Ms, Ms))
+        rp_v3 = np.zeros(Ms)
+        sel = [i for i, r in enumerate(rows[: n0 // bs]) if r is not None]
+        if sel:
+            src = np.concatenate(
+                [np.arange(i * bs, (i + 1) * bs) for i in sel]
+            )
+            dst = np.concatenate([rows[i] for i in sel])
+            sc_v3[np.ix_(dst, dst)] = self._sc[np.ix_(src, src)]
+            rp_v3[dst] = self._rhs[src]
+
+        with self.timer.phase("snapshot"):
+            graph = live.snapshot()
+        g = graph
+        dxn = None
+        for _ in range(self.max_iterations):
+            with self.timer.phase("live_solve_v3"):
+                new_states, dxn, chi2 = ps.gn_step_prior(
+                    g, sc_v3, rp_v3, self.update_threshold
+                )
+                dxn = float(dxn)
+            if not np.isfinite(dxn):
+                return False
+            g = g.replace_states(new_states)
+            if dxn < 1e-3:
+                break
+        with self.timer.phase("writeback"):
+            upd = {t: np.asarray(s) for t, s in g.states.items()}
+            live.update_states(upd)
+            for v in live.vertex_index:
+                self.system.set_vertex_state(v, live.vertex_state(v))
+        if self.verbose:
+            print(f"wsolve(v3) #{self.n_solves}: |dx|={dxn:.4f} "
+                  f"sep={len(self.sep_ids)} live={live.n_vertices}")
+        self._relinearize_dirty()
+        return True
+
     def _solve(self):
         if self._live_dirty or self._live is None:
             with self.timer.phase("rebuild_live"):
                 self._rebuild_live()
+                self._live_v3 = None
         live = self._live
         self.n_solves += 1
         if self._bs is None:
             t0 = next(iter(self.system.vertex_index.values()))[0]
             self._bs = get_vertex_type(t0).dim
         bs = self._bs
+        if self.live_engine == "v3" and self._solve_v3(live, bs):
+            return
 
         with self.timer.phase("snapshot"):
             graph = live.snapshot(pad=True)

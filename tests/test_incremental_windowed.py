@@ -83,3 +83,17 @@ def test_windowed_intermediate_estimate_reasonable():
 def test_windowed_closure_to_frozen_interior_refreezes():
     _, w = _run(1600)
     assert w.n_refreezes > 0  # long-range closures exercised the promote path
+
+
+def test_windowed_v3_live_engine_matches_dense(monkeypatch):
+    """The sparse (v3 + separator prior) full live solve produces the same
+    trajectory as the padded dense default — no dense live H anywhere
+    (VERDICT r3 #6 last leg).  Opt-in engine: per-structure compiles make it
+    a long-session trade-off (see live_engine docstring)."""
+    monkeypatch.setenv("SLAMPP_INC_LIVE_ENGINE", "v3")
+    sys_a, wa = _run(260)
+    monkeypatch.setenv("SLAMPP_INC_LIVE_ENGINE", "dense")
+    sys_b, wb = _run(260)
+    assert wa.live_engine == "v3" and wb.live_engine == "dense"
+    chi_a, chi_b = wa.chi2(), wb.chi2()
+    assert abs(chi_a - chi_b) < 1e-6 * (1.0 + abs(chi_b))
