@@ -124,6 +124,29 @@ def smoke_big_ba_step():
     assert np.isfinite(chi1) and chi1 < chi0, f"BA step did not descend: {chi0} -> {chi1}"
 
 
+def smoke_venice_full_scale_compiles():
+    """COMPILE the BA step at the FULL venice871 shape (871 cams, 1.1M
+    observations).  The round-3 failure was a compile-time memory-assignment
+    OOM (an 18 GB tiled broadcast) that the 50k-obs smoke could not see —
+    the smoke must cover the shape the round is graded on (VERDICT r3 #3).
+    Compile-only: no 16 GB of live observation data is touched."""
+    from slampp_tpu.io.datasets import make_venice_ba_arrays
+    from slampp_tpu.linear.ba_schur import (
+        ba_schur_lm_step,
+        build_ba_schur_plan_arrays,
+    )
+
+    cams, lms, oc, ol, uv, info, _ = make_venice_ba_arrays(
+        n_cams=871, n_points=110_000, mean_track=10, seed=0
+    )
+    plan = build_ba_schur_plan_arrays(871, len(lms), oc, ol, uv, info)
+    step = jax.jit(ba_schur_lm_step, static_argnames=("sc_f64", "pair_f32"))
+    step.lower(
+        plan, jnp.asarray(cams), jnp.asarray(lms), 1e-3,
+        sc_f64=False, pair_f32=True,
+    ).compile()
+
+
 def smoke_graft_entry():
     import __graft_entry__ as ge
 
@@ -138,6 +161,8 @@ def main():
     check("grouped_segsum", smoke_grouped_segsum)
     check("v3_manhattan500", smoke_v3_manhattan)
     check("big_ba_step_50k", smoke_big_ba_step)
+    if os.environ.get("SMOKE_SKIP_VENICE_FULL", "") != "1":
+        check("venice_full_scale_compiles", smoke_venice_full_scale_compiles)
     if os.environ.get("SMOKE_SKIP_ENTRY", "") != "1":
         check("graft_entry", smoke_graft_entry)
     if FAILURES:
