@@ -25,7 +25,13 @@ def build_arg_parser():
         prog="slam_plus_plus",
         description="TPU-native sparse nonlinear least squares (SLAM++ capability parity)",
     )
-    p.add_argument("-i", "--input", required=True, help="input dataset (g2o/TORO/SLAM++)")
+    p.add_argument("-i", "--input", help="input dataset (g2o/TORO/SLAM++)")
+    p.add_argument("-rmut", "--run-matrix-unit-tests", action="store_true",
+                   help="run the random block-matrix unit tests and exit "
+                        "(reference BlockUnit.cpp)")
+    p.add_argument("-rmb", "--run-matrix-benchmarks", action="store_true",
+                   help="run the block/kernel benchmarks and exit "
+                        "(reference BlockBench.h; writes kernel_bench.csv)")
     p.add_argument(
         "-nls",
         "--nonlinear-solver",
@@ -68,6 +74,32 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.run_matrix_unit_tests:
+        # reference -rmut (BlockUnit.cpp): random block-matrix unit tests
+        import subprocess
+        import sys as _sys
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        return subprocess.call(
+            [_sys.executable, "-m", "pytest",
+             os.path.join(root, "tests", "test_block_unit.py"), "-q"],
+            cwd=root,
+        )
+    if args.run_matrix_benchmarks:
+        # reference -rmb (BlockBench.h): kernel benchmark table -> CSV
+        import subprocess
+        import sys as _sys
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        return subprocess.call(
+            [_sys.executable, os.path.join(root, "scripts", "kernel_bench.py")]
+            + (["--cpu"] if args.platform == "cpu" else []),
+            cwd=root,
+        )
+    if args.input is None:
+        build_arg_parser().error("the following arguments are required: -i/--input")
     import slampp_tpu  # noqa: F401  (x64)
     from slampp_tpu.io.parser import build_system, detect_problem, parse_file
     from slampp_tpu.solvers import (

@@ -133,6 +133,16 @@ class BlockSparseMatrix:
         return out
 
     # ---------------------------------------------------------------- export
+    def slice_to(self, r0: int, r1: int, c0: int, c1: int) -> "BlockSparseMatrix":
+        """Extract the block sub-matrix [r0:r1) x [c0:c1) (SliceTo,
+        BlockMatrix.h:2170 — the reference uses it to carve A/U/C out of
+        lambda for the Schur solver)."""
+        out = BlockSparseMatrix(r1 - r0, c1 - c0, self.br, self.bc)
+        for (i, j), s in self._slots.items():
+            if r0 <= i < r1 and c0 <= j < c1:
+                out.append_block(i - r0, j - c0, self._blocks[s])
+        return out
+
     def to_bsr(self):
         """BSR export (BlockMatrixVBR.h analog) as scipy.sparse.bsr_matrix."""
         from scipy import sparse as sp

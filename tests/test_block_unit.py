@@ -242,3 +242,19 @@ def test_random_block_cholesky_vs_dense():
         x_ref = np.linalg.solve(Ap, bp.reshape(-1)).reshape(nb, bs)
         np.testing.assert_allclose(x, x_ref, atol=1e-7,
                                    err_msg=f"trial {t} nb={nb} bs={bs}")
+
+
+def test_slice_to_matches_dense():
+    rng = np.random.default_rng(8)
+    for t in range(N_TRIALS):
+        nbr, nbc = rng.integers(3, 9, 2)
+        br, bc = rng.integers(1, 5, 2)
+        A = _random_bsm(rng, nbr, nbc, br, bc, density=0.5)
+        r0 = int(rng.integers(0, nbr))
+        r1 = int(rng.integers(r0 + 1, nbr + 1))
+        c0 = int(rng.integers(0, nbc))
+        c1 = int(rng.integers(c0 + 1, nbc + 1))
+        S = A.slice_to(r0, r1, c0, c1)
+        np.testing.assert_allclose(
+            S.to_dense(),
+            A.to_dense()[r0 * br:r1 * br, c0 * bc:c1 * bc], atol=1e-12)
