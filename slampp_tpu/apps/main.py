@@ -148,13 +148,20 @@ def main(argv=None):
         system = GraphSystem()
         if solver_kind in ("L", "fastL"):
             # windowed incremental engine: cached frozen-chunk Schur
-            # complements + bounded live solves (FastL economics, see
-            # solvers/incremental_windowed.py)
+            # complements + bounded live solves (FastL economics).  Problem
+            # families with NumPy model kernels run the resident-system
+            # FastL engine (solvers/fastl.py — resumed Cholesky, zero JAX
+            # dispatch per step); others use the generic windowed solver.
             from slampp_tpu.solvers.incremental_windowed import (
                 WindowedIncrementalSolver,
             )
 
-            inc = WindowedIncrementalSolver(
+            inc_cls = WindowedIncrementalSolver
+            if problem == "se2" and not args.robust:
+                from slampp_tpu.solvers.fastl import FastLSolver
+
+                inc_cls = FastLSolver
+            inc = inc_cls(
                 system,
                 solve_period=args.nonlinear_solve_period,
                 max_iterations=args.max_nonlinear_solve_iters,
@@ -239,19 +246,16 @@ def main(argv=None):
 
     if args.dump_system_matrix:
         # reference -dsm: system.mtx (MatrixMarket) + sparsity raster
-        # (Main.h:126,1449-1493 writes system.mtx and system_matrix.tga)
-        import numpy as _np
-
-        from slampp_tpu.core import assembly as _asm
+        # (Main.h:126,1449-1493 writes system.mtx and system_matrix.tga from
+        # the sparse lambda).  Assembled sparsely — chunked per-edge-type
+        # block triplets, never a dense Hessian (round-4 advisor fix).
         from slampp_tpu.core.bsm import BlockSparseMatrix
+        from slampp_tpu.core.sparse_dump import assemble_sparse_csr
         from slampp_tpu.graph.types import get_vertex_type as _gvt
 
-        H, _, _ = _asm.assemble_dense(system.snapshot())
         dims = {_gvt(t).dim for t, _ in system.vertex_index.values()}
         bs_u = dims.pop() if len(dims) == 1 else 1
-        import scipy.sparse as _sp
-
-        Hs = _sp.csr_matrix(_np.asarray(H))
+        Hs = assemble_sparse_csr(system.snapshot())
         bsm = BlockSparseMatrix.from_sparse(Hs, bs_u, bs_u)
         bsm.save_matrix_market("system.mtx")
         try:

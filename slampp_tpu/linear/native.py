@@ -199,7 +199,9 @@ def _native_gn_step_v2_impl(graph: GraphArrays, bp, plan2, mixed: bool, refine: 
 
 
 def _native_gn_step_v2(graph: GraphArrays, bp, plan2, mixed: bool = False, refine: int = 1):
-    key = ("v2", id(bp), mixed, refine)
+    from slampp_tpu.linear.partitioned import _plan_key
+
+    key = ("v2", _plan_key(bp), mixed, refine)
     fn = _step_cache.get(key)
     if fn is None:
         fn = jax.jit(lambda g: _native_gn_step_v2_impl(g, bp, plan2, mixed, refine))
@@ -213,7 +215,9 @@ def _native_optimize_fused(
     """K chained GN iterations in ONE jitted program (one dispatch + one
     fetch for a whole batch solve — reference `Optimize(5, ...)` semantics
     minus the early-exit, which Manhattan-class problems never trigger)."""
-    key = ("v2fused", id(bp), n_iters, mixed, refine)
+    from slampp_tpu.linear.partitioned import _plan_key
+
+    key = ("v2fused", _plan_key(bp), n_iters, mixed, refine)
     fn = _step_cache.get(key)
     if fn is None:
         fn = jax.jit(lambda g: _fused_impl(g, bp, plan2, n_iters, mixed, refine))
@@ -244,7 +248,9 @@ _step_cache: Dict[int, object] = {}
 
 
 def _native_gn_step(graph: GraphArrays, bp, dp, mixed: bool = False, refine: int = 2):
-    key = (id(bp), mixed, refine)
+    from slampp_tpu.linear.partitioned import _plan_key
+
+    key = (_plan_key(bp), mixed, refine)
     fn = _step_cache.get(key)
     if fn is None:
         fn = jax.jit(lambda g: _native_gn_step_impl(g, bp, dp, mixed, refine))

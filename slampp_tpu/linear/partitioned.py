@@ -178,7 +178,7 @@ class PartitionedSolver:
         rhs_prior: (Ms,) in the same frame, g-sign convention.
         Returns (new_states, dx_norm, chi2)."""
         self.ensure_symbolic()
-        key = ("v3prior", id(self.block_plan), self.damping_rel,
+        key = ("v3prior", _plan_key(self.block_plan), self.damping_rel,
                self.mixed_precision)
         fn = _step_cache.get(key)
         if fn is None:
@@ -212,7 +212,7 @@ class PartitionedSolver:
         (reference ApplyDamping, NonlinearSolver_Lambda_LM.h:235-243).
         Returns (new_states, denom, dx_norm, chi2)."""
         self.ensure_symbolic()
-        key = ("v3damped", id(self.block_plan), self.refine_iters,
+        key = ("v3damped", _plan_key(self.block_plan), self.refine_iters,
                self.damping_rel, self.mixed_precision)
         fn = _step_cache.get(key)
         if fn is None:
@@ -243,7 +243,7 @@ class PartitionedSolver:
         route for DoglegSolver — reference CNonlinearSolver_Lambda_DL batch
         semantics).  Returns (new_states, pred_reduction, dx_norm, chi2)."""
         self.ensure_symbolic()
-        key = ("v3dogleg", id(self.block_plan), self.refine_iters,
+        key = ("v3dogleg", _plan_key(self.block_plan), self.refine_iters,
                self.damping_rel, self.mixed_precision)
         fn = _step_cache.get(key)
         if fn is None:
@@ -679,9 +679,24 @@ def _v3_gn_step_impl(graph: GraphArrays, bp, p: V3Plan, refine: int,
 
 _step_cache: Dict = {}
 
+_plan_serial_counter = [0]
+
+
+def _plan_key(bp) -> int:
+    """Stable cache key for a BlockPlan: a unique serial stamped at first
+    use.  ``id()`` is NOT stable — a freed plan's address can be reused by a
+    later plan, which would return a compiled closure over stale geometry
+    (advisor round-4 finding on the windowed-incremental v3 path)."""
+    k = getattr(bp, "_serial", None)
+    if k is None:
+        _plan_serial_counter[0] += 1
+        k = _plan_serial_counter[0]
+        object.__setattr__(bp, "_serial", k)
+    return k
+
 
 def _v3_gn_step(graph, bp, p, refine: int, damping_rel: float, mixed: bool = True):
-    key = ("v3", id(bp), refine, damping_rel, mixed)
+    key = ("v3", _plan_key(bp), refine, damping_rel, mixed)
     fn = _step_cache.get(key)
     if fn is None:
         fn = jax.jit(lambda g: _v3_gn_step_impl(g, bp, p, refine, damping_rel, mixed))
@@ -691,7 +706,7 @@ def _v3_gn_step(graph, bp, p, refine: int, damping_rel: float, mixed: bool = Tru
 
 def _v3_fused(graph, bp, p, n_iters: int, refine: int, damping_rel: float,
               mixed: bool = True):
-    key = ("v3fused", id(bp), n_iters, refine, damping_rel, mixed)
+    key = ("v3fused", _plan_key(bp), n_iters, refine, damping_rel, mixed)
     fn = _step_cache.get(key)
     if fn is None:
 

@@ -186,7 +186,10 @@ class SPCGSolver:
 
     # ----------------------------------------------------------------- step
     def _step_fn(self):
-        key = (id(self._bp_full), id(self._bp_tree), self.cg_max_iters, self.cg_tol)
+        from slampp_tpu.linear.partitioned import _plan_key
+
+        key = (_plan_key(self._bp_full), _plan_key(self._bp_tree),
+               self.cg_max_iters, self.cg_tol)
         fn = _step_cache.get(key)
         if fn is not None:
             return fn

@@ -72,9 +72,10 @@ class DoglegSolver:
         pad: bool = False,
         initial_radius: float = 2.0,
         relin_threshold: float = 0.0,  # reference default in DL: 1e-5
-        engine: str = "dense",
+        engine: str = "auto",
     ):
-        """``engine``: "dense" assembles the full Hessian; "v3" runs the
+        """``engine``: "auto" picks dense or sparse Schur by graph size;
+        "dense" (explicit) always assembles the full Hessian; "v3" runs the
         step through the partitioned block-sparse engine (uniform block
         size) without materializing H; "schur_sparse" eliminates landmarks
         observation-wise and doglegs over the Schur slot (reference slots
@@ -91,13 +92,14 @@ class DoglegSolver:
         self.n_iterations = 0
 
     def _resolve_engine(self) -> str:
-        """Auto-upgrade dense to sparse Schur on landmark graphs above the
-        size threshold (same gate as GN/LM)."""
+        """With engine="auto", upgrade to sparse Schur on landmark graphs
+        above the size threshold (same gate as GN/LM); an EXPLICIT "dense"
+        request is honored verbatim (no silent numerics switch)."""
         import os
 
         from slampp_tpu.graph.types import get_vertex_type
 
-        if self.engine == "dense":
+        if self.engine == "auto":
             thresh = int(os.environ.get("SLAMPP_SPARSE_SCHUR_THRESHOLD", "1500"))
             has_lm = any(
                 get_vertex_type(t).is_landmark
@@ -105,7 +107,7 @@ class DoglegSolver:
             )
             if has_lm and self.system.n_vertices >= thresh:
                 return "schur_sparse"
-        return self.engine
+        return "dense" if self.engine == "auto" else self.engine
 
     def _ss_solver(self):
         if self._ss is None:
@@ -128,8 +130,10 @@ class DoglegSolver:
     def optimize(self, max_iterations: int = 5, min_dx_norm: float = 0.01) -> int:
         if self.system.n_edges == 0:
             return 0
-        graph = self.system.snapshot(pad=self.pad)
         engine = self._resolve_engine()
+        # sparse-Schur routing tables are exact-size (see LM): never feed
+        # them a capacity-padded snapshot
+        graph = self.system.snapshot(pad=self.pad and engine != "schur_sparse")
         last_error = float(_chi2(graph))
         applied = 0
         for it in range(max_iterations):

@@ -170,7 +170,10 @@ class LevenbergMarquardtSolver:
                 applied = self._big.optimize(max_iterations, min_dx_norm)
             self.n_iterations += max_iterations
             return applied
-        graph = self.system.snapshot(pad=self.pad)
+        # sparse-Schur routing tables are exact-size: capacity-padded
+        # per-edge arrays would misalign with the pp/pl routes (same fix as
+        # GaussNewtonSolver._resolve_solver) — snapshot unpadded there
+        graph = self.system.snapshot(pad=self.pad and engine != "schur_sparse")
         alpha = self.tau * float(_max_edge_hessian_diag(graph))
         nu = 2.0
         last_error = float(_chi2(graph))

@@ -38,6 +38,17 @@ _QUICK = {
 }
 
 
+# ---------------------------------------------------------------- slow tier
+# Subprocess-heavy / multi-minute tests: excluded from the MEDIUM tier
+# (pytest -m "not slow", target < 5 min — the per-feature iteration gate);
+# the full suite (with them) remains the pre-snapshot gate.
+_SLOW_MODULES = {
+    "test_bench_smoke",     # spawns 3 bench child processes (compiles)
+    "test_mesh_scaling",    # 10-rep subprocess scaling run
+    "test_examples",        # runs every example script end-to-end
+}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
@@ -46,3 +57,5 @@ def pytest_collection_modifyitems(config, items):
         keys = {(mod, item.name), (mod, item.name.split("[")[0])}
         if keys & _QUICK:
             item.add_marker(_pytest.mark.quick)
+        if mod in _SLOW_MODULES:
+            item.add_marker(_pytest.mark.slow)

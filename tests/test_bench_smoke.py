@@ -23,7 +23,7 @@ _TINY_ENV = {
     "BENCH_VENICE_POINTS": "600",
     "BENCH_VENICE_TRACK": "4",
     "BENCH_VENICE_ITERS": "2",
-    # manhattan: 120 poses (no golden chi2 at this size — chi2_ok is None)
+    # manhattan: 120 poses (f64-oracle chi2 pinned in bench._MANHATTAN_F64_CHI2)
     "BENCH_POSES": "120",
     "BENCH_TARGET": "32",
     # incremental: 60 poses, every-vertex cadence
@@ -58,6 +58,10 @@ def test_bench_venice_child_runs():
 def test_bench_manhattan_child_runs():
     rec = _run_child("manhattan")
     assert rec["extra"]["chi2_final"] < rec["extra"]["chi2_initial"]
+    # the f64-oracle pin must exist AND hold at this size (VERDICT r4 #9:
+    # chi2_ok None meant the CI tier ran with no correctness check at all)
+    assert rec["extra"]["chi2_f64_oracle"] is not None
+    assert rec["extra"]["chi2_ok"] is True
 
 
 @pytest.mark.quick
