@@ -130,6 +130,27 @@ def main():
               reps=args.reps)
     rec("v3_fused_gn5_manhattan3500", "3500 poses", "mixed", t)
 
+    # general device block-sparse products (BlockMatrix.h:2662,2744 role)
+    import numpy as _np
+
+    from slampp_tpu.core.bsm import BlockSparseMatrix
+
+    rng = _np.random.default_rng(0)
+    nbr, nbc, bs, nnzb = 2000, 1500, 3, 20000
+    A = BlockSparseMatrix(nbr, nbc, bs, bs)
+    for _ in range(nnzb):
+        A.append_block(int(rng.integers(nbr)), int(rng.integers(nbc)),
+                       rng.normal(size=(bs, bs)))
+    t = _time(lambda _x: A.ata_device().nnz_blocks, 0, reps=max(2, args.reps // 2))
+    rec("bsm_ata_device", f"{nnzb} blocks {bs}x{bs}", "f64", t)
+    B = BlockSparseMatrix(nbc, nbr, bs, bs)
+    for _ in range(nnzb):
+        B.append_block(int(rng.integers(nbc)), int(rng.integers(nbr)),
+                       rng.normal(size=(bs, bs)))
+    t = _time(lambda _x: A.multiply_device(B).nnz_blocks, 0,
+              reps=max(2, args.reps // 2))
+    rec("bsm_gemm_device", f"{nnzb}x{nnzb} blocks {bs}x{bs}", "f64", t)
+
     with open(args.out, "w", newline="") as fh:
         w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
         w.writeheader()

@@ -15,10 +15,12 @@ core/block_assembly.py); this is the interop/debug/analysis surface.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -108,6 +110,70 @@ class BlockSparseMatrix:
                 out.append_block(i, j, self._blocks[sa] @ other._blocks[sb])
         return out
 
+    # ------------------------------------------------- device (XLA) products
+    def ata_device(self) -> "BlockSparseMatrix":
+        """A^T A on the accelerator: batched per-pair block GEMMs + one
+        grouped segment-sum per destination block.
+
+        The general device block-BLAS the reference gets from
+        ``PreMultiplyWithSelfTransposeTo[_FBS_Parallel]``
+        (BlockMatrix.h:2744-2795): the host enumerates the contributing
+        (slot_a, slot_b) pairs per block-row (the symbolic phase, same
+        O(sum deg^2) class as the reference's), the device does ALL the
+        arithmetic in two fused programs."""
+        by_row: Dict[int, list] = {}
+        for (i, j), s in self._slots.items():
+            by_row.setdefault(i, []).append((j, s))
+        sa_l, sb_l, key_l = [], [], []
+        for i, entries in by_row.items():
+            for ja, sa in entries:
+                for jb, sb in entries:
+                    sa_l.append(sa)
+                    sb_l.append(sb)
+                    key_l.append(ja * self.nbc + jb)
+        out = BlockSparseMatrix(self.nbc, self.nbc, self.bc, self.bc)
+        if not sa_l:
+            return out
+        prods = _pair_products_T(
+            jnp.asarray(self.values()),
+            jnp.asarray(np.asarray(sa_l, np.int32)),
+            jnp.asarray(np.asarray(sb_l, np.int32)),
+        )
+        keys, summed = _reduce_by_dest(np.asarray(key_l, np.int64), prods)
+        summed = np.asarray(summed)
+        for d, key in enumerate(keys):
+            out.append_block(int(key // self.nbc), int(key % self.nbc), summed[d])
+        return out
+
+    def multiply_device(self, other: "BlockSparseMatrix") -> "BlockSparseMatrix":
+        """GEMM on the accelerator (ProductOf role, BlockMatrix.h:2662):
+        host-side Gustavson symbolic pass, device-side batched block GEMMs
+        + grouped segment reduction per destination block."""
+        assert self.nbc == other.nbr and self.bc == other.br
+        b_by_row: Dict[int, list] = {}
+        for (k, j), s in other._slots.items():
+            b_by_row.setdefault(k, []).append((j, s))
+        sa_l, sb_l, key_l = [], [], []
+        for (i, k), sa in self._slots.items():
+            for j, sb in b_by_row.get(k, ()):
+                sa_l.append(sa)
+                sb_l.append(sb)
+                key_l.append(i * other.nbc + j)
+        out = BlockSparseMatrix(self.nbr, other.nbc, self.br, other.bc)
+        if not sa_l:
+            return out
+        prods = _pair_products(
+            jnp.asarray(self.values()),
+            jnp.asarray(other.values()),
+            jnp.asarray(np.asarray(sa_l, np.int32)),
+            jnp.asarray(np.asarray(sb_l, np.int32)),
+        )
+        keys, summed = _reduce_by_dest(np.asarray(key_l, np.int64), prods)
+        summed = np.asarray(summed)
+        for d, key in enumerate(keys):
+            out.append_block(int(key // other.nbc), int(key % other.nbc), summed[d])
+        return out
+
     def add(self, other: "BlockSparseMatrix", factor: float = 1.0) -> "BlockSparseMatrix":
         """AddTo with factor (BlockMatrix.h:2390)."""
         out = BlockSparseMatrix(self.nbr, self.nbc, self.br, self.bc)
@@ -187,3 +253,39 @@ class BlockSparseMatrix:
         """(values (nnzb, br, bc), rows, cols) as jnp arrays for jitted use."""
         rows, cols = self.indices()
         return jnp.asarray(self.values()), jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32)
+
+
+# ------------------------------------------------ device product primitives
+
+
+@jax.jit
+def _pair_products_T(vals, sa, sb):
+    """(npairs, bc, bc) with pair p = vals[sa[p]]^T @ vals[sb[p]]."""
+    return jnp.einsum("eij,eik->ejk", vals[sa], vals[sb])
+
+
+@jax.jit
+def _pair_products(vals_a, vals_b, sa, sb):
+    """(npairs, br, bc) with pair p = vals_a[sa[p]] @ vals_b[sb[p]]."""
+    return jnp.einsum("eij,ejk->eik", vals_a[sa], vals_b[sb])
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _grouped_sum(prods, plan):
+    from slampp_tpu.ops.segments import grouped_segsum_first
+
+    return grouped_segsum_first(prods, plan)
+
+
+def _reduce_by_dest(keys: np.ndarray, prods):
+    """Sum pair products sharing a destination key (device reduction via
+    the grouped-segments plan; host does only the sort/unique symbolics)."""
+    from slampp_tpu.ops.segments import plan_grouped_segments
+
+    order = np.argsort(keys, kind="stable")
+    uniq, starts = np.unique(keys[order], return_index=True)
+    ends = np.r_[starts[1:], len(keys)]
+    plan = plan_grouped_segments(
+        starts, ends, m=len(keys), remap=np.r_[order, len(keys)]
+    )
+    return uniq, _grouped_sum(prods, plan)

@@ -687,3 +687,152 @@ def distributed_ba_lm_step(shards: BAShards, mesh: Mesh, alpha, axis: str = "lm"
         return new_cams, new_lms, dx_norm, chi2, denom
 
     return step(shards, jnp.asarray(alpha, jnp.float64))
+
+
+# ------------------------------------------------------- distributed marginals
+
+
+def build_lm_pair_plan(shards: BigBAShards):
+    """Host symbolic phase for distributed marginals: WITHIN-landmark
+    observation pairs (local indices), segmented per landmark.  Returns
+    sharded (n_dev, ...) arrays (qe, qf, qs, qn) where landmark slot l of a
+    shard owns pair rows [qs[l], qs[l]+qn[l])."""
+    ls = np.asarray(shards.lm_starts)
+    le = np.asarray(shards.lm_ends)
+    n_dev, per = ls.shape
+    qe_all, qf_all, qs_all, qn_all = [], [], [], []
+    for d in range(n_dev):
+        qe, qf, qs, qn = [], [], [], []
+        for l in range(per):
+            a, b = int(ls[d, l]), int(le[d, l])
+            qs.append(len(qe))
+            qn.append((b - a) * (b - a))
+            for e in range(a, b):
+                for f in range(a, b):
+                    qe.append(e)
+                    qf.append(f)
+        qe_all.append(qe)
+        qf_all.append(qf)
+        qs_all.append(qs)
+        qn_all.append(qn)
+    q_max = max(1, max(len(q) for q in qe_all))
+    QE = np.zeros((n_dev, q_max), np.int32)
+    QF = np.zeros((n_dev, q_max), np.int32)
+    QV = np.zeros((n_dev, q_max), bool)
+    for d in range(n_dev):
+        n = len(qe_all[d])
+        QE[d, :n] = qe_all[d]
+        QF[d, :n] = qf_all[d]
+        QV[d, :n] = True
+    QS = np.asarray(qs_all, np.int32)
+    QN = np.asarray(qn_all, np.int32)
+    return (jnp.asarray(QE), jnp.asarray(QF), jnp.asarray(QV),
+            jnp.asarray(QS), jnp.asarray(QS + QN))
+
+
+@functools.lru_cache(maxsize=16)
+def _big_marginals_fn(mesh: Mesh, axis: str, n_c: int, per: int,
+                      anchor_cam: int, anchor_lm: int):
+    spec = _big_specs(axis, n_c, per, anchor_cam, anchor_lm)
+    sh_ = P(axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, (sh_, sh_, sh_, sh_, sh_), P()),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    def marg(sh: BigBAShards, qplan, alpha):
+        qe, qf, qv, qls, qle = (a[0] for a in qplan)
+        lm_states = sh.lm_states[0]
+        obs_cam = sh.obs_cam[0]
+        obs_lm = sh.obs_lm[0]
+        valid = sh.obs_valid[0]
+        W = sh.obs_w[0]
+        shard_id = jax.lax.axis_index(axis)
+
+        r, Jp, Jc = jax.vmap(_p2c_residual_jacs)(
+            lm_states[obs_lm], sh.cam_states[obs_cam], sh.obs_uv[0]
+        )
+        Jp = jnp.where(valid[:, None, None], Jp, 0.0)
+        Jc = jnp.where(valid[:, None, None], Jc, 0.0)
+        WJc = jnp.einsum("eij,ejk->eik", W, Jc)
+        WJp = jnp.einsum("eij,ejk->eik", W, Jp)
+
+        ls, le = sh.lm_starts[0], sh.lm_ends[0]
+        D = _segsum(jnp.einsum("eij,eik->ejk", Jp, WJp), ls, le)
+        D = D + alpha * jnp.eye(3)
+        if sh.anchor_lm >= 0:
+            loc = sh.anchor_lm - shard_id * per
+            mine = jnp.logical_and(loc >= 0, loc < per)
+            D = D.at[jnp.clip(loc, 0, per - 1)].add(
+                jnp.where(mine, 1.0, 0.0) * jnp.eye(3)
+            )
+        D = jnp.where(sh.lm_valid[0][:, None, None], D, jnp.eye(3)[None])
+        Dinv = _inv3(D)
+
+        Hcc_e = jnp.einsum("eij,eik->ejk", Jc, WJc)
+        Hcc_diag = jax.ops.segment_sum(Hcc_e, obs_cam, num_segments=n_c)
+
+        B = jnp.einsum("eij,eik->ejk", Jc, WJp)  # (m, 6, 3)
+        BD = jnp.einsum("eij,ejk->eik", B, Dinv[obs_lm])
+        prod = jnp.einsum("eij,ekj->eik", BD[sh.pair_e[0]], B[sh.pair_f[0]])
+        pair_sums = _segsum(prod, sh.pair_starts[0], sh.pair_ends[0])
+        SC_flat = jnp.zeros((n_c * n_c + 1, 6, 6))
+        SC_flat = SC_flat.at[sh.pair_flat[0]].add(
+            -pair_sums, indices_are_sorted=True
+        )
+        SC_part = SC_flat[: n_c * n_c].reshape(n_c, n_c, 6, 6)
+        diag_idx = jnp.arange(n_c)
+        SC_part = SC_part.at[diag_idx, diag_idx].add(Hcc_diag)
+        SC_part = jnp.transpose(SC_part, (0, 2, 1, 3)).reshape(n_c * 6, n_c * 6)
+        SC = jax.lax.psum(SC_part, axis)
+        SC = SC + alpha * jnp.eye(n_c * 6)
+        if sh.anchor_cam >= 0:
+            aidx = sh.anchor_cam * 6 + jnp.arange(6)
+            SC = SC.at[aidx, aidx].add(1.0)
+
+        # replicated camera covariance: SC^-1 via Cholesky
+        L = jax.lax.linalg.cholesky(SC, symmetrize_input=True)
+        eye = jnp.eye(n_c * 6)
+        Y = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+        Scc = Y.T @ Y
+        cam_cov = jnp.transpose(
+            Scc.reshape(n_c, 6, n_c, 6), (0, 2, 1, 3)
+        )[diag_idx, diag_idx]
+
+        # landmark marginals (shard-local): Dinv + Dinv U^T Scc U Dinv over
+        # within-landmark observation pairs (BAMarginals.h:43 shape)
+        Scc_b = jnp.transpose(Scc.reshape(n_c, 6, n_c, 6), (0, 2, 1, 3))
+        G = Scc_b[obs_cam[qe], obs_cam[qf]]  # (q, 6, 6)
+        Bq_e = B[qe]
+        Bq_f = B[qf]
+        prod_q = jnp.einsum("qia,qij,qjb->qab", Bq_e, G, Bq_f)
+        prod_q = jnp.where(qv[:, None, None], prod_q, 0.0)
+        M = _segsum(prod_q, qls, qle)  # (per, 3, 3)
+        lm_cov = Dinv + jnp.einsum("lij,ljk,lkm->lim", Dinv, M, Dinv)
+        lm_cov = jnp.where(sh.lm_valid[0][:, None, None], lm_cov, 0.0)
+        return cam_cov, lm_cov[None]
+
+    return jax.jit(marg)
+
+
+def distributed_big_ba_marginals(shards: BigBAShards, mesh: Mesh, alpha=0.0,
+                                 axis: str = "lm"):
+    """Mesh-parallel block-diagonal marginal recovery (SURVEY §2.12 stage-8
+    'distributed marginals'; single-device reference:
+    marginals/ba_marginals.py:schur_marginals, BAMarginals.h:43):
+
+      camera blocks  — diag of SC^-1, SC psum-reduced over the mesh and
+                       factored replicated (one collective);
+      landmark blocks — Sigma_ll = D^-1 + D^-1 U^T Sigma_cc U D^-1,
+                       recovered SHARD-LOCALLY from the local observations.
+
+    Returns (cam_cov (n_c, 6, 6) replicated, lm_cov (n_dev, per, 3, 3)
+    sharded on the mesh axis)."""
+    qplan = build_lm_pair_plan(shards)
+    fn = _big_marginals_fn(
+        mesh, axis, shards.n_c, shards.per, shards.anchor_cam, shards.anchor_lm
+    )
+    return fn(shards, qplan, jnp.asarray(alpha, jnp.float64))

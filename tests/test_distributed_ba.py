@@ -129,3 +129,63 @@ def test_distributed_big_ba_solver_converges():
     assert applied > 0
     chi2_1 = float(jax.jit(assembly.graph_chi2)(system.snapshot()))
     assert chi2_1 < chi2_0 * 0.5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_distributed_marginals_match_single_device():
+    """Mesh-parallel block-diagonal marginals == the single-device
+    Schur-based recovery (marginals/ba_marginals.py; BAMarginals.h:43 role).
+    Camera blocks replicated from the psum-ed SC; landmark blocks
+    shard-local (SURVEY §2.12 'distributed marginals')."""
+    from slampp_tpu.marginals.ba_marginals import schur_marginals
+    from slampp_tpu.parallel.distributed_ba import (
+        build_big_ba_shards,
+        distributed_big_ba_marginals,
+    )
+
+    text, _ = make_ba_scene(n_cams=6, n_points=67, obs_per_point=4, seed=3)
+    with tempfile.NamedTemporaryFile("w", suffix=".g2o", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        system = build_system(parse_file(path))
+    finally:
+        os.unlink(path)
+
+    alpha = 1e-2
+    graph = system.snapshot()
+    H, _, _ = jax.jit(assembly.assemble_dense)(graph)
+    plan = build_schur_plan(system)
+    cov_cam_ref, cov_lm_ref = schur_marginals(H, plan, alpha=alpha)
+    cov_cam_ref = np.asarray(cov_cam_ref)
+    cov_lm_ref = np.asarray(cov_lm_ref)
+
+    mesh = make_mesh(len(jax.devices()), axis="lm")
+    shards = build_big_ba_shards(system, mesh)
+    cam_cov, lm_cov = distributed_big_ba_marginals(shards, mesh, alpha=alpha)
+    cam_cov = np.asarray(cam_cov)
+    lm_cov = np.asarray(lm_cov).reshape(-1, 3, 3)
+
+    # map orderings by scalar offset: shards order cams/landmarks by vid,
+    # the dense plan orders by layout offset
+    offsets, _ = system._layout()
+    cam_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "cam")
+    lm_ids = sorted(v for v, (t, _) in system.vertex_index.items() if t == "xyz")
+    lm_offs = np.asarray(plan.lm_offsets)
+    # camera diag blocks of Sigma_cc in the dense plan's cam_idx order:
+    # cam scalars are contiguous per camera in offset order
+    cam_off_sorted = np.argsort([offsets[v] for v in cam_ids])
+    n_c = len(cam_ids)
+    Scc = cov_cam_ref.reshape(n_c, 6, n_c, 6).transpose(0, 2, 1, 3)
+    for k, v in enumerate(cam_ids):
+        pos = int(np.searchsorted(
+            np.sort([offsets[c] for c in cam_ids]), offsets[v]
+        ))
+        np.testing.assert_allclose(
+            cam_cov[k], Scc[pos, pos], rtol=1e-6, atol=1e-8
+        )
+    for g, v in enumerate(lm_ids):
+        pos = int(np.searchsorted(lm_offs, offsets[v]))
+        np.testing.assert_allclose(
+            lm_cov[g], cov_lm_ref[pos], rtol=1e-6, atol=1e-8
+        )
