@@ -73,6 +73,7 @@ def bench_venice():
     # mean track length 10 -> ~1.1M observations (full venice871 scale,
     # unit_tests.sh:182-188)
     mean_track = int(os.environ.get("BENCH_VENICE_TRACK", "10"))
+    t_wall0 = time.perf_counter()
     t0 = time.perf_counter()
     jax.block_until_ready(jax.numpy.zeros(8) + 1)
     t_backend = time.perf_counter() - t0
@@ -100,6 +101,10 @@ def bench_venice():
     dt = time.perf_counter() - t0
     iters_per_sec = n_lm / dt
     chi2_final = float(solver._chi2_fn(solver.plan, solver._cams, solver._lms))
+    # end-to-end: dataset-in-hand to 5 accepted LM iterations' chi2,
+    # INCLUDING symbolic + compile/warmup (the reference binary's ~61 s on
+    # this machine is measured the same way; VERDICT r4 weak #4)
+    t_end_to_end = time.perf_counter() - t_wall0 - t_gen
 
     # reference binary measured on this machine (scripts/build_reference.sh +
     # `slam_plus_plus -i venice_synth.g2o -us -nb`), same scene class:
@@ -126,8 +131,11 @@ def bench_venice():
                 "symbolic_s": round(t_sym, 3),
                 "backend_init_s": round(t_backend, 3),
                 "gen_s": round(t_gen, 3),
+                "time_to_chi2_end_to_end_s": round(t_end_to_end, 2),
+                "ref_end_to_end_s": 60.99,
                 "sc_pair_buckets": [
-                    list(b.idx.shape) for b in solver.plan.pair_grp.buckets
+                    [int(b.seg_ids.shape[0]), int(getattr(b, "cap", 0) or b.idx.shape[1])]
+                    for b in solver.plan.pair_grp.buckets
                 ],
                 "device": str(jax.devices()[0]),
             },
@@ -167,6 +175,30 @@ def _manhattan_system(n_poses):
         return build_system(parse_file(path))
     finally:
         os.unlink(path)
+
+
+def bench_manhattan_warm():
+    """Fresh-process warm-cache probe: wall from interpreter start to the
+    first full 5-iteration chi2, with the persistent compilation cache
+    already populated by the cold run (VERDICT r4 #3: prove the warm path
+    and make cache regressions visible)."""
+    t_wall0 = time.perf_counter()
+    jax = _child_setup()
+    from slampp_tpu.linear.partitioned import PartitionedSolver
+
+    n_poses = int(os.environ.get("BENCH_POSES", "3500"))
+    target = int(os.environ.get("BENCH_TARGET", "64"))
+    refine = int(os.environ.get("BENCH_REFINE", "0"))
+    system = _manhattan_system(n_poses)
+    ps = PartitionedSolver(
+        system, target=target, mixed_precision=True, refine_iters=refine
+    )
+    ps.symbolic()
+    graph = system.snapshot()
+    out = ps.optimize_fused(graph, n_iters=5)
+    chi2 = float(out[3])
+    _emit({"warm_wall_to_first_chi2_s": round(time.perf_counter() - t_wall0, 3),
+           "chi2": round(chi2, 3)})
 
 
 def bench_manhattan():
@@ -255,6 +287,25 @@ def bench_manhattan():
         extra["flops_per_5iter"] = flops
         extra["achieved_gflops"] = round(flops / (5 * t_iter) / 1e9, 2)
         extra["hbm_gbps"] = round(bytes_acc / (5 * t_iter) / 1e9, 2) if bytes_acc else None
+
+    # warm-path probe: a FRESH process with the persistent compilation
+    # cache populated by the run above (skipped when the probe fails so the
+    # primary metric never depends on it)
+    if os.environ.get("BENCH_WARM_PROBE", "1") == "1":
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only",
+                 "manhattan_warm"],
+                capture_output=True, text=True, timeout=600,
+                env=dict(os.environ),
+            )
+            for line in out.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    extra["wall_to_first_chi2_warm_s"] = json.loads(line)[
+                        "warm_wall_to_first_chi2_s"
+                    ]
+        except Exception:
+            pass
 
     ref_measured = _REF_MEASURED_IPS.get(n_poses)
     extra["vs_published_icra13"] = round(iters_per_sec / _REF_PUBLISHED_IPS, 3)
@@ -365,6 +416,7 @@ def bench_incremental():
 _CHILDREN = {
     "venice": bench_venice,
     "manhattan": bench_manhattan,
+    "manhattan_warm": bench_manhattan_warm,
     "incremental": bench_incremental,
 }
 

@@ -125,6 +125,38 @@ def build_ba_schur_plan(system) -> BASchurPlan:
     )
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(4, 5))
+def _device_pairs(oc, ol, lm_starts, deg, M2: int, n_c: int):
+    """Generate the within-landmark unordered observation pairs (e <= f by
+    obs index), canonicalize the cam orientation, and sort by the flat
+    (ci * n_c + cj) key — entirely on device (see
+    build_ba_schur_plan_arrays).  Returns (pair_e, pair_f) int32 sorted to
+    match the host-side P^T P segment layout."""
+    m = oc.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    loc = idx - lm_starts[ol]
+    reps = deg[ol] - loc                      # pairs whose e == this obs
+    pair_e = jnp.repeat(idx, reps, total_repeat_length=M2)
+    run_start = jnp.cumsum(reps) - reps
+    offset = jnp.arange(M2, dtype=jnp.int32) - jnp.repeat(
+        run_start.astype(jnp.int32), reps, total_repeat_length=M2
+    )
+    pair_f = pair_e + offset
+    ci = oc[pair_e]
+    cj = oc[pair_f]
+    swap = ci > cj
+    pe = jnp.where(swap, pair_f, pair_e)
+    pf = jnp.where(swap, pair_e, pair_f)
+    flat = jnp.minimum(ci, cj).astype(jnp.int64) * n_c + jnp.maximum(
+        ci, cj
+    ).astype(jnp.int64)
+    flat_s, pe_s, pf_s = jax.lax.sort((flat, pe, pf), num_keys=1)
+    return pe_s, pf_s
+
+
 def build_ba_schur_plan_arrays(
     n_c: int,
     n_l: int,
@@ -144,7 +176,7 @@ def build_ba_schur_plan_arrays(
 
     lm_starts = np.searchsorted(ol, np.arange(n_l))
     lm_ends = np.searchsorted(ol, np.arange(n_l) + 1)
-    lm_grp = plan_grouped_segments(lm_starts, lm_ends, m)
+    lm_grp = plan_grouped_segments(lm_starts, lm_ends, m, materialize=False)
 
     cam_perm = np.argsort(oc, kind="stable")
     oc_sorted = oc[cam_perm]
@@ -156,39 +188,49 @@ def build_ba_schur_plan_arrays(
     perm_pad = np.concatenate([cam_perm, [m]]).astype(np.int64)
     cam_grp = plan_grouped_segments(cam_starts, cam_ends, m, remap=perm_pad)
 
-    # UNORDERED observation pairs sharing a landmark (e <= f), vectorized:
-    # SC symmetry (BD_e B_f^T = (BD_f B_e^T)^T since D is symmetric) lets the
-    # device compute each pair once and mirror the reduced grid — half the
-    # gather traffic of the ordered expansion.  Pair t of landmark l with
-    # degree d: within its d(d+1)/2 block, (e, f) from the triangular index.
+    # UNORDERED observation pairs sharing a landmark (e <= f), with the cam
+    # key CANONICALIZED to (min(ci,cj), max(ci,cj)) — SC symmetry
+    # (BD_e B_f^T = (BD_f B_e^T)^T since D is symmetric) lets the device
+    # compute each pair once and mirror the reduced grid.  Round-5 redesign
+    # (VERDICT r4 #4): the O(sum deg^2) pair table is GENERATED AND SORTED
+    # ON DEVICE — the host only derives the per-destination pair COUNTS
+    # from the sparse incidence product P^T P (scipy, O(nnz)), so the
+    # symbolic phase neither enumerates pairs on the host nor uploads
+    # O(pairs) index tables through the (remote) device link.
+    import scipy.sparse as _sp
+
     deg = (lm_ends - lm_starts).astype(np.int64)
     d2 = deg * (deg + 1) // 2
     M2 = int(d2.sum())
-    block_start = np.cumsum(d2) - d2
-    t_idx = np.arange(M2, dtype=np.int64)
-    within = t_idx - np.repeat(block_start, d2)
-    deg_r = np.repeat(deg, d2)
-    base = np.repeat(lm_starts.astype(np.int64), d2)
-    # triangular unranking: rows e have lengths d, d-1, ..., 1 and
-    # prefix(e) = e*d - e(e-1)/2; e = largest row with prefix <= within
-    e_loc = np.floor(
-        ((2 * deg_r + 1) - np.sqrt((2 * deg_r + 1) ** 2 - 8.0 * within)) / 2
-    ).astype(np.int64)
-    e_loc = np.clip(e_loc, 0, np.maximum(deg_r - 1, 0))
-    pref = lambda e: e * deg_r - (e * (e - 1)) // 2  # noqa: E731
-    e_loc = e_loc - (pref(e_loc) > within)  # float-sqrt off-by-one guards
-    e_loc = e_loc + (pref(e_loc + 1) <= within)
-    prev = pref(e_loc)
-    f_loc = e_loc + (within - prev)
-    pair_e = base + e_loc
-    pair_f = base + f_loc
-    flat = oc[pair_e] * n_c + oc[pair_f]
-    po = np.argsort(flat, kind="stable")
-    pair_e, pair_f, flat = pair_e[po], pair_f[po], flat[po]
-    distinct, starts = np.unique(flat, return_index=True)
-    ends = np.concatenate([starts[1:], [len(flat)]])
+    ones = np.ones(m, np.int64)
+    P = _sp.csr_matrix((ones, (ol, oc)), shape=(n_l, n_c))
+    G = (P.T @ P).tocsr()
+    G.sort_indices()
+    Gc = _sp.triu(G, k=0).tocsr()
+    rows_nz, cols_nz = Gc.nonzero()
+    counts = np.asarray(Gc[rows_nz, cols_nz]).ravel().astype(np.int64)
+    # ordered -> unordered pair counts: off-diagonal keys hold each
+    # unordered cross pair once already; diagonal keys hold ordered pairs
+    # (m_i^2 per landmark) -> (m_i^2 + m_i) / 2 unordered incl. e == f
+    diag_mask = rows_nz == cols_nz
+    cam_obs = np.bincount(oc, minlength=n_c)
+    counts[diag_mask] = (counts[diag_mask] + cam_obs[rows_nz[diag_mask]]) // 2
+    distinct = rows_nz.astype(np.int64) * n_c + cols_nz.astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
     n_distinct = len(distinct)
-    pair_grp = plan_grouped_segments(starts, ends, M2, bucket_base=2, min_cap=8)
+    assert M2 == int(counts.sum()), (M2, int(counts.sum()))
+    pair_grp = plan_grouped_segments(
+        starts, ends, M2, bucket_base=2, min_cap=8, materialize=False
+    )
+    pair_e, pair_f = _device_pairs(
+        jnp.asarray(oc, jnp.int32),
+        jnp.asarray(ol, jnp.int32),
+        jnp.asarray(lm_starts, jnp.int32),
+        jnp.asarray(deg, jnp.int32),
+        M2,
+        n_c,
+    )
 
     grid = np.arange(n_c * n_c, dtype=np.int64)
     if n_distinct:
@@ -208,8 +250,12 @@ def build_ba_schur_plan_arrays(
         obs_info=jnp.asarray(info),
         lm_grp=lm_grp,
         cam_grp=cam_grp,
-        pair_e=jnp.asarray(np.concatenate([pair_e, [m]]), jnp.int32),
-        pair_f=jnp.asarray(np.concatenate([pair_f, [m]]), jnp.int32),
+        pair_e=jnp.concatenate(
+            [pair_e, jnp.full((1,), m, jnp.int32)]
+        ),
+        pair_f=jnp.concatenate(
+            [pair_f, jnp.full((1,), m, jnp.int32)]
+        ),
         pair_grp=pair_grp,
         sc_inv_map=jnp.asarray(sc_inv_map, jnp.int32),
         anchor_cam=int(anchor_cam),
@@ -375,7 +421,11 @@ def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000,
         prod = jnp.sum(BDg[:, None] * Bg[None, :], axis=2)  # (6, 6, rows, cap)
         return jnp.sum(prod * scale, -1).reshape(36, rows)
 
+    from slampp_tpu.ops.segments import RangeBucket, _range_idx, GroupBucket
+
     for b in plan.pair_grp.buckets:
+        if isinstance(b, RangeBucket):
+            b = GroupBucket(seg_ids=b.seg_ids, idx=_range_idx(b, plan.pair_grp.m))
         G, cap = b.idx.shape
         rows_per_chunk = max(1, max_chunk // max(cap, 1))
         if G > rows_per_chunk:

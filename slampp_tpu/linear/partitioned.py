@@ -179,11 +179,12 @@ class PartitionedSolver:
         Returns (new_states, dx_norm, chi2)."""
         self.ensure_symbolic()
         key = ("v3prior", _plan_key(self.block_plan), self.damping_rel,
-               self.mixed_precision)
+               self.mixed_precision, self.refine_iters)
         fn = _step_cache.get(key)
         if fn is None:
             bp, p = self.block_plan, self.plan
             dr, mixed = self.damping_rel, self.mixed_precision
+            refine = self.refine_iters
 
             def impl(g, sc, rp, thr):
                 vals, rhs, chi2 = block_assembly.assemble_blocks_sorted(
@@ -191,7 +192,7 @@ class PartitionedSolver:
                 )
                 # b64 = -g fine => separator rhs add is -rhs_prior
                 x = _v3_solve_refined(
-                    p, vals, -rhs, 0, dr, mixed,
+                    p, vals, -rhs, refine, dr, mixed,
                     sc_prior=sc, gs_prior=-rp,
                 )
                 dx = block_assembly.scatter_dx(bp, x, bp.bs)
@@ -611,13 +612,13 @@ def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
 
     ``sc_prior`` (Ms, Ms) / ``gs_prior`` (Ms,) add to the separator system /
     rhs in the b64 sign convention (un-equilibrated; scaled here).  The f64
-    refinement does not model the prior, so refine must be 0 with a prior.
+    refinement models the prior term: the full-system residual subtracts
+    ``S^T (sc_prior x_sep - gs_prior)`` at the separator rows (round-4
+    advisor/VERDICT item — refinement and the prior are no longer mutually
+    exclusive).
     """
     bs = p.bs
     n = p.n
-    if sc_prior is not None and refine:
-        raise ValueError("iterative refinement does not model sc_prior; "
-                         "use refine=0")
     if not mixed:
         vals_f = vals64[: p.nnzb]
         b_f = jnp.concatenate([b64[:n], jnp.zeros((1, bs), b64.dtype)], 0)
@@ -655,6 +656,18 @@ def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
 
     for _ in range(refine):
         r = b64[:n] - _spmv_fine(p, vals64, x)
+        if sc_prior is not None:
+            # full system is (A + S sc S^T) x = b + S gs: subtract the
+            # prior's contribution at the separator rows (f64,
+            # un-equilibrated — sc_prior/gs_prior come in raw)
+            xs = x[p.gs_idx].reshape(-1)[: p.SB * bs]
+            xs = jnp.concatenate(
+                [xs, jnp.zeros(p.Ms - p.SB * bs, x.dtype)]
+            )
+            pr = sc_prior.astype(x.dtype) @ xs
+            if gs_prior is not None:
+                pr = pr - gs_prior.astype(x.dtype)
+            r = r.at[p.gs_idx].add(-pr[: p.SB * bs].reshape(p.SB, bs))
         rs = (s * r).astype(jnp.float32)
         rs1 = jnp.concatenate([rs, jnp.zeros((1, bs), jnp.float32)], 0)
         z = _solve_with(p, L, WU, Ls, rs1, None)

@@ -116,13 +116,18 @@ class WindowedIncrementalSolver:
         self.full_solve_every = int(os.environ.get("SLAMPP_INC_FULL_EVERY", "16"))
         self._tail_gran = 32
         self._steps_since_full = 0
-        # full live solve engine: "dense" (padded dense H — stable jit
-        # shapes across live growth, the default) or "v3" (partitioned
-        # sparse solve with the frozen SC prior injected into the separator
-        # core via forced_separator/gn_step_prior — no dense H, but the v3
-        # plan's static dims change per live structure, so each rebuild
-        # compiles a fresh program: opt-in for long sessions / big windows)
-        self.live_engine = os.environ.get("SLAMPP_INC_LIVE_ENGINE", "dense")
+        # full live solve engine: "auto" (the round-5 default) picks the v3
+        # partitioned sparse solve (frozen SC prior injected into the
+        # separator core via forced_separator/gn_step_prior — no dense live
+        # H, composes with f64 iterative refinement since round 5) once the
+        # live system exceeds SLAMPP_INC_V3_THRESHOLD scalars, and the
+        # padded dense path below it (bounded O(threshold^2) by
+        # construction — cheap, stable jit shapes; also the automatic
+        # fallback when the live graph is not v3-partitionable).  Explicit
+        # "v3"/"dense" via SLAMPP_INC_LIVE_ENGINE.  SE(2)-family systems
+        # normally use the resident-NumPy FastL engine (solvers/fastl.py).
+        self.live_engine = os.environ.get("SLAMPP_INC_LIVE_ENGINE", "auto")
+        self._v3_threshold = int(os.environ.get("SLAMPP_INC_V3_THRESHOLD", "640"))
         self._live_v3 = None
         self.chunk = chunk
         self.window = window
@@ -562,7 +567,11 @@ class WindowedIncrementalSolver:
             t0 = next(iter(self.system.vertex_index.values()))[0]
             self._bs = get_vertex_type(t0).dim
         bs = self._bs
-        if self.live_engine == "v3" and self._solve_v3(live, bs):
+        want_v3 = self.live_engine == "v3" or (
+            self.live_engine == "auto"
+            and live.n_vertices * bs >= self._v3_threshold
+        )
+        if want_v3 and self._solve_v3(live, bs):
             return
 
         with self.timer.phase("snapshot"):

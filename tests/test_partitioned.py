@@ -220,3 +220,47 @@ def test_v3_forced_separator_prior_matches_dense():
         np.testing.assert_allclose(
             np.asarray(new_states[t]), np.asarray(ref_states[t]), atol=1e-6,
             err_msg=f"state mismatch for type {t}")
+
+
+def test_v3_prior_with_refinement_matches_dense():
+    """gn_step_prior with mixed precision + f64 refinement: the refinement
+    residual models the prior term (round-5: the refine=0 restriction is
+    lifted), so the mixed path converges to the same solution as the exact
+    dense oracle."""
+    system = _system(160, seed=4)
+    vorder = list(system._vorder)
+    forced = vorder[10:20:3] + vorder[100:110:4]
+    ps = PartitionedSolver(system, target=16, mixed_precision=True,
+                           refine_iters=3, forced_separator=forced)
+    ps.symbolic()
+    sep = [int(b) for b in ps.separator_blocks]
+    bs = 3
+    SB = len(sep)
+    Ms = ps.plan.Ms
+    rng = np.random.default_rng(0)
+    G = rng.normal(size=(SB * bs, SB * bs))
+    P_sep = G @ G.T + np.eye(SB * bs)
+    p_sep = rng.normal(size=SB * bs)
+    sc = np.zeros((Ms, Ms))
+    sc[: SB * bs, : SB * bs] = P_sep
+    rp = np.zeros(Ms)
+    rp[: SB * bs] = p_sep
+
+    graph = system.snapshot()
+    new_states, dxn, chi2 = ps.gn_step_prior(graph, sc, rp)
+
+    H, g, _ = assembly.assemble_dense(graph)
+    H = np.asarray(H).copy()
+    g = np.asarray(g).copy()
+    offsets, total = system._layout()
+    idx = np.concatenate([
+        np.arange(offsets[vorder[b]], offsets[vorder[b]] + bs) for b in sep
+    ])
+    H[np.ix_(idx, idx)] += P_sep
+    g[idx] += p_sep
+    dx = np.linalg.solve(H, -g)
+    ref_states = assembly.apply_update(graph, jnp.asarray(dx))
+    for t in ref_states:
+        np.testing.assert_allclose(
+            np.asarray(new_states[t]), np.asarray(ref_states[t]), atol=5e-5,
+            err_msg=f"state mismatch for type {t}")
