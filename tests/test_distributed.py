@@ -58,3 +58,46 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_mesh_chunk_elimination_matches_sequential():
+    """Mesh-parallel frozen-chunk elimination == the sequential NumPy
+    elimination the windowed/FastL solvers cache (SURVEY §2.12 stage-8
+    sharded-incremental story)."""
+    import numpy as np
+
+    from slampp_tpu.parallel.distributed import make_mesh
+    from slampp_tpu.parallel.distributed_incremental import (
+        eliminate_chunks_mesh,
+        pack_chunks,
+    )
+
+    rng = np.random.default_rng(7)
+    chunks = []
+    refs = []
+    for k in range(11):  # deliberately not a multiple of the mesh size
+        nint = int(rng.integers(6, 19)) * 3
+        nb = int(rng.integers(2, 5)) * 3
+        d = nint + nb
+        A = rng.normal(size=(d, d))
+        H = A @ A.T + d * np.eye(d)
+        g = rng.normal(size=d)
+        chunks.append((H, g, nint))
+        Hi = H[:nint, :nint]
+        U = H[:nint, nint:]
+        L = np.linalg.cholesky(Hi + 1e-12 * np.eye(nint))
+        WU = np.linalg.solve(L, U)
+        y = np.linalg.solve(L, g[:nint])
+        refs.append((H[nint:, nint:] - WU.T @ WU, g[nint:] - WU.T @ y, nint, nb))
+
+    mesh = make_mesh(len(jax.devices()), axis="chunks")
+    Hs, gs, nis, D = pack_chunks(chunks)
+    L, WU, y, sc, rhs = eliminate_chunks_mesh(Hs, gs, nis, mesh)
+    for k, (sc_ref, rhs_ref, nint, nb) in enumerate(refs):
+        np.testing.assert_allclose(
+            sc[k, nint : nint + nb, nint : nint + nb], sc_ref,
+            rtol=1e-8, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            rhs[k, nint : nint + nb], rhs_ref, rtol=1e-8, atol=1e-8
+        )
