@@ -76,6 +76,16 @@ class V3Plan(NamedTuple):
     sol_gather: jnp.ndarray  # (n,) -> row in [x_int (K*mB) | xs (SB)]
     # spmv (f64 refinement) plan
     mv_grp: object  # GroupedSegments over matvec terms -> n rows
+    # chain mode (round 5): when every part interior is a pure chain (all
+    # loop closures live in the separator — true for pose graphs under the
+    # contiguous partitioner), the part frames are block-TRIDIAGONAL and
+    # factor via batched block cyclic reduction in log2(mB) levels instead
+    # of a dense (K, M, M) Cholesky — see _chain_factor32
+    ch_ok: int = 0
+    ch_m: int = 1             # pow2-padded chain length
+    ch_d_idx: object = None   # (K, ch_m) Gv rows of interior diagonal blocks
+    ch_e_idx: object = None   # (K, ch_m) Gv rows of A[a+1, a] blocks
+    ch_pad: object = None     # (K, ch_m) 1.0 where the chain is padding
 
 
 class PartitionedSolver:
@@ -314,13 +324,37 @@ def build_v3_geometry(n, pairs, bs: int, target: int = 64,
     core (where a Schur prior can be injected — see gn_step_prior).
     ``extras``: optional dict filled with {"separator": sorted block ids}.
     """
-    if forced_separator is not None and len(forced_separator):
-        part = part_mod.partition_graph_forced(
-            n, sorted(pairs), forced_separator, target=target,
-            max_sep_frac=max_sep_frac)
-    else:
-        part = part_mod.partition_graph(n, sorted(pairs), target=target,
+    def _do_partition(forced):
+        if forced:
+            return part_mod.partition_graph_forced(
+                n, sorted(pairs), sorted(forced), target=target,
+                max_sep_frac=max_sep_frac)
+        return part_mod.partition_graph(n, sorted(pairs), target=target,
                                         max_sep_frac=max_sep_frac)
+
+    forced_set = set(forced_separator or [])
+    part = _do_partition(forced_set)
+    # chain-ification (round 5): promote one endpoint of every
+    # interior-interior coupling that skips a chain position, so part
+    # interiors become pure block tridiagonals and factor via batched
+    # cyclic reduction (_chain_factor32).  Bounded: give up (dense-frame
+    # path) rather than blow up the separator on non-chain-like graphs.
+    budget = max(16, n // 8)
+    for _ in range(4):
+        offenders = set()
+        for pk in part.parts:
+            pos = {int(b): i for i, b in enumerate(pk)}
+            for i, j in pairs:
+                pi, pj = pos.get(int(i)), pos.get(int(j))
+                if pi is not None and pj is not None and abs(pi - pj) >= 2:
+                    offenders.add(int(max(i, j)))
+        if not offenders:
+            break
+        if len(forced_set | offenders) - len(set(forced_separator or [])) > budget:
+            part = _do_partition(set(forced_separator or []))
+            break
+        forced_set |= offenders
+        part = _do_partition(forced_set)
     if extras is not None:
         extras["separator"] = np.asarray(part.separator, np.int64)
     # permuted order: part interiors (contiguous), then separator
@@ -450,6 +484,25 @@ def build_v3_geometry(n, pairs, bs: int, target: int = 64,
     assert len(uniq_m) == n  # every row has a diagonal term
     ends_m = np.concatenate([starts_m[1:], [len(smv)]]).astype(np.int64)
 
+    # chain detection + tables: interiors are chains iff no interior
+    # off-diagonal skips a position (closures are separator-forced)
+    offd = a_idx != ZERO
+    ai = np.arange(mB)
+    skip = np.abs(ai[:, None] - ai[None, :]) >= 2
+    ch_ok = int(not (offd & skip[None, :, :]).any())
+    ch_m = 1
+    while ch_m < max(mB, 1):
+        ch_m *= 2
+    ch_d_idx = np.full((K, ch_m), ZERO, np.int64)
+    ch_e_idx = np.full((K, ch_m), ZERO, np.int64)
+    ch_pad = np.zeros((K, ch_m))
+    ch_d_idx[:, :mB] = a_idx[np.arange(K)[:, None], ai[None, :], ai[None, :]]
+    if mB > 1:
+        ch_e_idx[:, : mB - 1] = a_idx[
+            np.arange(K)[:, None], ai[None, 1:], ai[None, :-1]
+        ]
+    ch_pad[ch_d_idx == ZERO] = 1.0
+
     dev = lambda a: jnp.asarray(a, jnp.int32)
     plan = V3Plan(
         n=n, bs=bs, nnzb=nnzb, K=K, mB=mB, sB=sB, SB=SB, M=M, S=S, Ms=Ms,
@@ -464,6 +517,8 @@ def build_v3_geometry(n, pairs, bs: int, target: int = 64,
         scr_inv_map=dev(scr_inv_map),
         xs_idx=dev(xs_idx), sol_gather=dev(sol),
         mv_grp=block_assembly._remapped_group_plan(starts_m, ends_m, mv_perm),
+        ch_ok=ch_ok, ch_m=ch_m, ch_d_idx=dev(ch_d_idx),
+        ch_e_idx=dev(ch_e_idx), ch_pad=jnp.asarray(ch_pad, jnp.float32),
     )
     return plan, slot_of, inv
 
@@ -494,6 +549,193 @@ def _frames(p: V3Plan, Gv, rhsf, dtype):
     gs = rhsf[p.gs_idx].reshape(-1)[: p.SB * bs]
     gs = jnp.pad(gs, (0, p.Ms - p.SB * bs))
     return A, U, Ass, gk, gs
+
+
+def _cr_build(D, Lw):
+    """Batched block cyclic reduction hierarchy for SPD block-tridiagonal
+    systems.  D (K, m, bs, bs) diagonal blocks, Lw (K, m, bs, bs) with
+    Lw[:, i] = A[i+1, i] (Lw[:, m-1] = 0); m a power of two (identity/zero
+    padding decouples).  log2(m) levels of BATCHED tiny-block einsums — the
+    TPU-native substitute for a sequential banded factorization (parallel
+    over parts AND over chain positions; reference economics:
+    BlockMatrix.h:3663 CholeskyOf on the tridiagonal lambda)."""
+    levels = []
+    m = D.shape[1]
+    while m > 1:
+        DO = D[:, 1::2]
+        DE = D[:, 0::2]
+        P = Lw[:, 0::2]   # even -> odd coupling A[2t+1, 2t]
+        Q = Lw[:, 1::2]   # odd -> even coupling A[2t+2, 2t+1]
+        DOinv = jnp.linalg.inv(DO)
+        DiP = jnp.einsum("kmij,kmjl->kmil", DOinv, P, precision=HI)
+        PtDiP = jnp.einsum("kmji,kmjl->kmil", P, DiP, precision=HI)
+        QDi = jnp.einsum("kmij,kmjl->kmil", Q, DOinv, precision=HI)
+        QDiQt = jnp.einsum("kmil,kmjl->kmij", QDi, Q, precision=HI)
+        Dn = DE - PtDiP - jnp.pad(
+            QDiQt[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0))
+        )
+        Ln = -jnp.einsum("kmil,kmlj->kmij", QDi, P, precision=HI)
+        levels.append((DOinv, P, Q))
+        D, Lw = Dn, Ln
+        m //= 2
+    root_inv = jnp.linalg.inv(D[:, 0])
+    return levels, root_inv
+
+
+def _cr_solve(levels, root_inv, B):
+    """Solve A X = B through a _cr_build hierarchy; B (K, m, bs, R)."""
+    stack = []
+    for DOinv, P, Q in levels:
+        BO = B[:, 1::2]
+        BE = B[:, 0::2]
+        DiB = jnp.einsum("kmij,kmjr->kmir", DOinv, BO, precision=HI)
+        PtDiB = jnp.einsum("kmji,kmjr->kmir", P, DiB, precision=HI)
+        QDiB = jnp.einsum("kmij,kmjr->kmir", Q, DiB, precision=HI)
+        B = BE - PtDiB - jnp.pad(
+            QDiB[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0))
+        )
+        stack.append((DOinv, P, Q, BO))
+    x = jnp.einsum("kij,kjr->kir", root_inv, B[:, 0], precision=HI)[:, None]
+    for DOinv, P, Q, BO in reversed(stack):
+        xE = x
+        xE_next = jnp.concatenate(
+            [xE[:, 1:], jnp.zeros_like(xE[:, :1])], 1
+        )
+        t = (
+            BO
+            - jnp.einsum("kmij,kmjr->kmir", P, xE, precision=HI)
+            - jnp.einsum("kmji,kmjr->kmir", Q, xE_next, precision=HI)
+        )
+        xO = jnp.einsum("kmij,kmjr->kmir", DOinv, t, precision=HI)
+        K_, m2 = xE.shape[0], xE.shape[1]
+        x = jnp.stack([xE, xO], 2).reshape((K_, 2 * m2) + xE.shape[2:])
+    return x
+
+
+def _chain_sep_frames(p: V3Plan, Gv, rhsf, dtype):
+    """Ass / gs gathers shared with _frames (chain path skips A/U frames)."""
+    bs = p.bs
+    Ass = Gv[p.ss_idx].transpose(0, 2, 1, 3).reshape(p.SB * bs, p.SB * bs)
+    Ass = jnp.pad(Ass, ((0, p.Ms - p.SB * bs), (0, p.Ms - p.SB * bs)))
+    Ass = Ass + jnp.diag(p.ss_pad_eye.astype(dtype))
+    gs = rhsf[p.gs_idx].reshape(-1)[: p.SB * bs]
+    gs = jnp.pad(gs, (0, p.Ms - p.SB * bs))
+    return Ass, gs
+
+
+def _chain_gather_U(p: V3Plan, Gv, rhsf):
+    bs = p.bs
+    U5 = Gv[p.u_idx]  # (K, mB, sB, bs, bs)
+    Ub = U5.transpose(0, 1, 3, 2, 4).reshape(p.K, p.mB, bs, p.S)
+    Ub = jnp.pad(Ub, ((0, 0), (0, p.ch_m - p.mB), (0, 0), (0, 0)))
+    gk = rhsf[p.gk_idx]  # (K, mB, bs)
+    gk = jnp.pad(gk, ((0, 0), (0, p.ch_m - p.mB), (0, 0)))
+    return Ub, gk
+
+
+def _chain_flat(p: V3Plan, X):
+    """(K, ch_m, bs, ...) node rows -> (K, M, ...) flat frame rows."""
+    K = p.K
+    flat = X.reshape((K, p.ch_m * p.bs) + X.shape[3:])[:, : p.mB * p.bs]
+    pad = [(0, 0), (0, p.M - p.mB * p.bs)] + [(0, 0)] * (flat.ndim - 2)
+    return jnp.pad(flat, pad)
+
+
+def _chain_sc_reduce(p: V3Plan, C):
+    """(K, S, S) boundary-pair contributions -> SC subtraction matrix."""
+    from slampp_tpu.ops.segments import grouped_segsum_last
+
+    bs = p.bs
+    Cb = C.reshape(p.K, p.sB, bs, p.sB, bs).transpose(0, 1, 3, 2, 4).reshape(-1, bs * bs)
+    red = grouped_segsum_last(Cb.T, p.sc_grp)
+    redp = jnp.concatenate([red, jnp.zeros((bs * bs, 1), Cb.dtype)], -1)
+    SBp = max(p.SB, 1)
+    return (
+        redp[:, p.sc_inv_map]
+        .reshape(bs, bs, SBp, SBp)
+        .transpose(2, 0, 3, 1)
+        .reshape(SBp * bs, SBp * bs)[: p.SB * bs, : p.SB * bs]
+    )
+
+
+def _chain_rhs_reduce(p: V3Plan, v):
+    from slampp_tpu.ops.segments import grouped_segsum_last
+
+    bs = p.bs
+    vb = v.reshape(p.K * p.sB, bs)
+    redv = grouped_segsum_last(vb.T, p.scr_grp)
+    redvp = jnp.concatenate([redv, jnp.zeros((bs, 1), vb.dtype)], -1)
+    return redvp[:, p.scr_inv_map].T.reshape(-1)[: p.SB * bs]
+
+
+def _chain_factor32(p: V3Plan, vals32, rhs32, sc_prior=None, gs_prior=None):
+    """Chain-mode factorization: batched cyclic reduction over the part
+    tridiagonals + the usual dense separator core.  Returns
+    (levels, root_inv, Uflat, Xu, Xg, Ls, rhs_s) — the chain analog of
+    _factor32's (L, WU, y, Ls, rhs_s)."""
+    bs = p.bs
+    valsT = jnp.swapaxes(vals32, 1, 2)
+    Gv = jnp.concatenate([vals32, valsT, jnp.zeros((1, bs, bs), vals32.dtype)], 0)
+    rhsf = jnp.concatenate([rhs32, jnp.zeros((1, bs), rhs32.dtype)], 0)
+    dt = vals32.dtype
+    D = Gv[p.ch_d_idx] + p.ch_pad.astype(dt)[..., None, None] * jnp.eye(bs, dtype=dt)
+    E = Gv[p.ch_e_idx]
+    Ub, gk = _chain_gather_U(p, Gv, rhsf)
+    Ass, gs = _chain_sep_frames(p, Gv, rhsf, dt)
+    if sc_prior is not None:
+        Ass = Ass + sc_prior.astype(Ass.dtype)
+    if gs_prior is not None:
+        gs = gs + gs_prior.astype(gs.dtype)
+
+    levels, root_inv = _cr_build(D, E)
+    B = jnp.concatenate([Ub, gk[..., None]], -1)  # (K, ch_m, bs, S+1)
+    X = _cr_solve(levels, root_inv, B)
+    Xu = _chain_flat(p, X[..., : p.S])  # (K, M, S) = A^-1 U
+    Xg = _chain_flat(p, X[..., p.S])    # (K, M)    = A^-1 b
+    Uflat = _chain_flat(p, Ub)
+
+    C = jnp.einsum("kms,kmt->kst", Uflat, Xu, preferred_element_type=dt, precision=HI)
+    SCsub = _chain_sc_reduce(p, C)
+    SC = Ass - jnp.pad(SCsub, ((0, p.Ms - p.SB * bs), (0, p.Ms - p.SB * bs)))
+    Ls = dk.chol_batched(SC[None])
+
+    v = jnp.einsum("kms,km->ks", Uflat, Xg, preferred_element_type=dt, precision=HI)
+    vsub = _chain_rhs_reduce(p, v)
+    rhs_s = gs - jnp.pad(vsub, (0, p.Ms - p.SB * bs))
+    return levels, root_inv, Uflat, Xu, Xg, Ls, rhs_s
+
+
+def _chain_backsolve(p: V3Plan, Xu, Xg, Ls, rhs_s):
+    """x_int = A^-1 b - (A^-1 U) x_s; no triangular solves on the parts."""
+    bs = p.bs
+    rs = jnp.pad(rhs_s[None, :, None], ((0, 0), (0, 0), (0, 7)))
+    zs = dk.trsm_lower_batched(Ls, rs)
+    xs = dk.trsm_lower_t_batched(Ls, zs)[0, :, 0]
+    xs_blocks = jnp.concatenate(
+        [xs[: p.SB * bs].reshape(max(p.SB, 1) if p.SB else 1, -1)[: p.SB],
+         jnp.zeros((1, bs), xs.dtype)], 0
+    ) if p.SB else jnp.zeros((1, bs), xs.dtype)
+    xsb = xs_blocks[p.xs_idx].reshape(p.K, p.S)
+    xk = Xg - jnp.einsum("kms,ks->km", Xu, xsb, preferred_element_type=Xu.dtype, precision=HI)
+    x_int = xk[:, : p.mB * bs].reshape(p.K * p.mB, bs)
+    xs_all = xs[: p.SB * bs].reshape(-1, bs) if p.SB else jnp.zeros((0, bs), xs.dtype)
+    x_rows = jnp.concatenate([x_int, xs_all], 0)
+    return x_rows[p.sol_gather]
+
+
+def _chain_solve_with(p: V3Plan, levels, root_inv, Uflat, Xu, Ls, gk_fine):
+    """Repeated solve for a new fine rhs through the cached chain
+    factorization (refinement path)."""
+    bs = p.bs
+    gk = gk_fine[p.gk_idx]  # (K, mB, bs)
+    gk = jnp.pad(gk, ((0, 0), (0, p.ch_m - p.mB), (0, 0)))
+    gs = gk_fine[p.gs_idx].reshape(-1)[: p.SB * bs]
+    gs = jnp.pad(gs, (0, p.Ms - p.SB * bs))
+    Yg = _chain_flat(p, _cr_solve(levels, root_inv, gk[..., None])[..., 0])
+    v = jnp.einsum("kms,km->ks", Uflat, Yg, preferred_element_type=Yg.dtype, precision=HI)
+    vsub = _chain_rhs_reduce(p, v)
+    rhs_s = gs - jnp.pad(vsub, (0, p.Ms - p.SB * bs))
+    return _chain_backsolve(p, Xu, Yg, Ls, rhs_s)
 
 
 def _factor32(p: V3Plan, vals32, rhs32, sc_prior=None, gs_prior=None):
@@ -650,8 +892,14 @@ def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
     elif gs_prior is not None:
         raise ValueError("gs_prior requires sc_prior")
 
-    L, WU, y, Ls, rhs_s = _factor32(p, vals32, b32, scp, gsp)
-    z = _backsolve(p, L, WU, Ls, y, rhs_s)
+    if p.ch_ok:
+        levels, root_inv, Uflat, Xu, Xg, Ls, rhs_s = _chain_factor32(
+            p, vals32, b32, scp, gsp
+        )
+        z = _chain_backsolve(p, Xu, Xg, Ls, rhs_s)
+    else:
+        L, WU, y, Ls, rhs_s = _factor32(p, vals32, b32, scp, gsp)
+        z = _backsolve(p, L, WU, Ls, y, rhs_s)
     x = s * z.astype(jnp.float64)
 
     for _ in range(refine):
@@ -670,7 +918,10 @@ def _v3_solve_refined(p: V3Plan, vals64, b64, refine: int, damping_rel: float,
             r = r.at[p.gs_idx].add(-pr[: p.SB * bs].reshape(p.SB, bs))
         rs = (s * r).astype(jnp.float32)
         rs1 = jnp.concatenate([rs, jnp.zeros((1, bs), jnp.float32)], 0)
-        z = _solve_with(p, L, WU, Ls, rs1, None)
+        if p.ch_ok:
+            z = _chain_solve_with(p, levels, root_inv, Uflat, Xu, Ls, rs1)
+        else:
+            z = _solve_with(p, L, WU, Ls, rs1, None)
         x = x + s * z.astype(jnp.float64)
     return x
 

@@ -264,3 +264,45 @@ def test_v3_prior_with_refinement_matches_dense():
         np.testing.assert_allclose(
             np.asarray(new_states[t]), np.asarray(ref_states[t]), atol=5e-5,
             err_msg=f"state mismatch for type {t}")
+
+
+def test_v3_chain_mode_active_and_matches_dense_frames():
+    """Pose-graph interiors are chains -> the cyclic-reduction path must
+    activate (ch_ok) and agree with the dense-frame factorization it
+    replaces to f32-roundoff (round-5 Manhattan fast path).  The absolute
+    oracle parity of the mixed engine is covered by the existing
+    test_v3_exact_matches_dense_oracle (mixed=False) — this graph's gauge
+    mode makes mixed-vs-f64 comparisons loose for BOTH paths."""
+    from slampp_tpu.core import block_assembly
+    from slampp_tpu.linear import partitioned as P
+
+    system = _system(400, seed=2)
+    graph = system.snapshot()
+    ps = PartitionedSolver(system, target=64, mixed_precision=True,
+                           refine_iters=1)
+    ps.symbolic()
+    assert ps.plan.ch_ok == 1
+    vals, rhs, _ = jax.jit(
+        lambda g: block_assembly.assemble_blocks_sorted(
+            g, ps.block_plan, hessian_f32=True
+        )
+    )(graph)
+    x_chain = np.asarray(
+        P._v3_solve_refined(ps.plan, vals, -rhs, 1, 1e-6, True)
+    )
+    plan_dense = ps.plan._replace(ch_ok=0)
+    x_dense = np.asarray(
+        P._v3_solve_refined(plan_dense, vals, -rhs, 1, 1e-6, True)
+    )
+    # both factorizations live in the same f32 numerics class; this
+    # graph's near-null gauge direction amplifies their roundoff
+    # difference, so the bound is loose-but-meaningful (the exact-parity
+    # contract is mixed=False, covered above)
+    scale = max(1.0, np.abs(x_dense).max())
+    assert np.abs(x_chain - x_dense).max() / scale < 1e-2
+
+    # and the actual GN step reduces chi2 like the dense-frame path does
+    new_states, dxn, chi2 = ps.gn_step(graph)
+    from slampp_tpu.core.assembly import graph_chi2
+    chi2_after = float(jax.jit(graph_chi2)(graph.replace_states(new_states)))
+    assert chi2_after < 0.5 * float(chi2)
