@@ -41,6 +41,47 @@ from slampp_tpu.ops import dense_kernels as dk
 
 HI = jax.lax.Precision.HIGHEST
 
+_CR_BASE = 8  # chain length at which cyclic reduction hands off to a dense
+              # batched factorization (see _cr_build)
+
+
+def _small_inv(A):
+    """Batched inverse of tiny SPD blocks (..., bs, bs).  Closed forms for
+    bs <= 3: jnp.linalg.inv lowers to batched LU on TPU, which measured
+    ~2 ms per cyclic-reduction level at (55, 32, 3, 3) — the adjugate
+    fuses into the surrounding einsums instead (same reason as
+    parallel/distributed_ba._inv3)."""
+    bs = A.shape[-1]
+    if bs == 1:
+        return 1.0 / A
+    if bs == 2:
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * c
+        inv_det = 1.0 / det
+        return jnp.stack(
+            [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
+        ) * inv_det[..., None, None]
+    if bs == 3:
+        a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+        d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+        g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+        A11 = e * i - f * h
+        A12 = -(d * i - f * g)
+        A13 = d * h - e * g
+        det = a * A11 + b * A12 + c * A13
+        inv_det = 1.0 / det
+        adj = jnp.stack(
+            [
+                jnp.stack([A11, -(b * i - c * h), b * f - c * e], -1),
+                jnp.stack([A12, a * i - c * g, -(a * f - c * d)], -1),
+                jnp.stack([A13, -(a * h - b * g), a * e - b * d], -1),
+            ],
+            -2,
+        )
+        return adj * inv_det[..., None, None]
+    return jnp.linalg.inv(A)
+
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -561,12 +602,15 @@ def _cr_build(D, Lw):
     BlockMatrix.h:3663 CholeskyOf on the tridiagonal lambda)."""
     levels = []
     m = D.shape[1]
-    while m > 1:
+    # reduce until the remaining chain fits one batched DENSE factorization
+    # (m <= _CR_BASE): halves the count of tiny sequential level ops, and a
+    # (K, base*bs, base*bs) Cholesky is a single well-shaped batched kernel
+    while m > _CR_BASE:
         DO = D[:, 1::2]
         DE = D[:, 0::2]
         P = Lw[:, 0::2]   # even -> odd coupling A[2t+1, 2t]
         Q = Lw[:, 1::2]   # odd -> even coupling A[2t+2, 2t+1]
-        DOinv = jnp.linalg.inv(DO)
+        DOinv = _small_inv(DO)
         DiP = jnp.einsum("kmij,kmjl->kmil", DOinv, P, precision=HI)
         PtDiP = jnp.einsum("kmji,kmjl->kmil", P, DiP, precision=HI)
         QDi = jnp.einsum("kmij,kmjl->kmil", Q, DOinv, precision=HI)
@@ -578,8 +622,21 @@ def _cr_build(D, Lw):
         levels.append((DOinv, P, Q))
         D, Lw = Dn, Ln
         m //= 2
-    root_inv = jnp.linalg.inv(D[:, 0])
-    return levels, root_inv
+    # dense base case: assemble the remaining (K, m*bs, m*bs) tridiagonal
+    K_, _, bs, _ = D.shape
+    T = jnp.zeros((K_, m, bs, m, bs), D.dtype)
+    ar = jnp.arange(m)
+    T = T.at[:, ar, :, ar, :].set(jnp.swapaxes(D, 0, 1))
+    if m > 1:
+        T = T.at[:, ar[1:], :, ar[:-1], :].set(
+            jnp.swapaxes(Lw[:, :-1], 0, 1)
+        )
+        T = T.at[:, ar[:-1], :, ar[1:], :].set(
+            jnp.swapaxes(jnp.swapaxes(Lw[:, :-1], -1, -2), 0, 1)
+        )
+    T = T.reshape(K_, m * bs, m * bs)
+    Lbase = jax.lax.linalg.cholesky(T, symmetrize_input=False)
+    return levels, (Lbase, m, bs)
 
 
 def _cr_solve(levels, root_inv, B):
@@ -595,7 +652,16 @@ def _cr_solve(levels, root_inv, B):
             QDiB[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0))
         )
         stack.append((DOinv, P, Q, BO))
-    x = jnp.einsum("kij,kjr->kir", root_inv, B[:, 0], precision=HI)[:, None]
+    Lbase, mb, bs = root_inv
+    K_ = B.shape[0]
+    Bb = B.reshape(K_, mb * bs, -1)
+    yb = jax.lax.linalg.triangular_solve(
+        Lbase, Bb, left_side=True, lower=True
+    )
+    xb = jax.lax.linalg.triangular_solve(
+        Lbase, yb, left_side=True, lower=True, transpose_a=True
+    )
+    x = xb.reshape(K_, mb, bs, -1)
     for DOinv, P, Q, BO in reversed(stack):
         xE = x
         xE_next = jnp.concatenate(
