@@ -80,6 +80,24 @@ def _small_inv(A):
             -2,
         )
         return adj * inv_det[..., None, None]
+    if bs == 6:
+        # blocked 2x2-of-3x3 Schur inversion (SE(3) pose blocks): stays in
+        # fused closed-form territory instead of batched LU
+        A11 = A[..., :3, :3]
+        A12 = A[..., :3, 3:]
+        A21 = A[..., 3:, :3]
+        A22 = A[..., 3:, 3:]
+        iA11 = _small_inv(A11)
+        iA11_A12 = jnp.einsum("...ij,...jk->...ik", iA11, A12)
+        S = A22 - jnp.einsum("...ij,...jk->...ik", A21, iA11_A12)
+        iS = _small_inv(S)
+        B12 = -jnp.einsum("...ij,...jk->...ik", iA11_A12, iS)
+        B21 = -jnp.einsum("...ij,...jk->...ik", iS,
+                          jnp.einsum("...ij,...jk->...ik", A21, iA11))
+        B11 = iA11 - jnp.einsum("...ij,...jk->...ik", iA11_A12, B21)
+        top = jnp.concatenate([B11, B12], -1)
+        bot = jnp.concatenate([B21, iS], -1)
+        return jnp.concatenate([top, bot], -2)
     return jnp.linalg.inv(A)
 
 
