@@ -340,6 +340,11 @@ def bench_incremental():
     platform the same cpu-backend programs recompile cold — measured 1270 s
     vs ~20 s for the identical workload)."""
     os.environ.setdefault("BENCH_PLATFORM", "cpu")
+    # threaded OpenBLAS is pathologically slow for the solver's small
+    # LAPACK calls on small VMs (see solvers/fastl.py); must be set before
+    # numpy initializes its threadpool
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     _child_setup()
 
     from slampp_tpu.graph.system import GraphSystem

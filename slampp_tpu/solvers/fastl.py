@@ -125,6 +125,19 @@ class FastLSolver(WindowedIncrementalSolver):
                  **kw):
         kw.setdefault("live_on_host", True)
         super().__init__(system, **kw)
+        # the hot path is many SMALL dense LAPACK calls; threaded OpenBLAS
+        # is pathologically slow for 100-600-dim factorizations on small
+        # VMs (measured 0.12 ms -> 235 ms for chol(150) with 2 spinning
+        # threads).  Pin BLAS to one thread for the solver's lifetime —
+        # single-threaded was faster at EVERY size in this range.
+        try:
+            import threadpoolctl
+
+            self._blas_ctx = threadpoolctl.threadpool_limits(
+                limits=1, user_api="blas"
+            )
+        except Exception:
+            self._blas_ctx = None
         self.tail = 0                      # resumed factor replaces tail path
         self.relin_update_threshold = relin_update_threshold
         self._lin_stale = True
