@@ -17,6 +17,13 @@ import subprocess
 import sys
 import tempfile
 
+# parity runs on the host CPU: the axon sitecustomize overrides
+# JAX_PLATFORMS env, so this must be an in-process config update (the
+# remote-TPU compile service is also too flaky for a correctness gate)
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 

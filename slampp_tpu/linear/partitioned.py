@@ -41,6 +41,10 @@ from slampp_tpu.ops import dense_kernels as dk
 
 HI = jax.lax.Precision.HIGHEST
 
+import os as _os
+
+_CHAIN_SEP_XLA = _os.environ.get("SLAMPP_CHAIN_SEP_XLA", "0") == "1"
+
 _CR_BASE = 8  # chain length at which cyclic reduction hands off to a dense
               # batched factorization (see _cr_build)
 
@@ -781,7 +785,10 @@ def _chain_factor32(p: V3Plan, vals32, rhs32, sc_prior=None, gs_prior=None):
     C = jnp.einsum("kms,kmt->kst", Uflat, Xu, preferred_element_type=dt, precision=HI)
     SCsub = _chain_sc_reduce(p, C)
     SC = Ass - jnp.pad(SCsub, ((0, p.Ms - p.SB * bs), (0, p.Ms - p.SB * bs)))
-    Ls = dk.chol_batched(SC[None])
+    if _CHAIN_SEP_XLA:
+        Ls = jax.lax.linalg.cholesky(SC, symmetrize_input=False)[None]
+    else:
+        Ls = dk.chol_batched(SC[None])
 
     v = jnp.einsum("kms,km->ks", Uflat, Xg, preferred_element_type=dt, precision=HI)
     vsub = _chain_rhs_reduce(p, v)
@@ -792,9 +799,17 @@ def _chain_factor32(p: V3Plan, vals32, rhs32, sc_prior=None, gs_prior=None):
 def _chain_backsolve(p: V3Plan, Xu, Xg, Ls, rhs_s):
     """x_int = A^-1 b - (A^-1 U) x_s; no triangular solves on the parts."""
     bs = p.bs
-    rs = jnp.pad(rhs_s[None, :, None], ((0, 0), (0, 0), (0, 7)))
-    zs = dk.trsm_lower_batched(Ls, rs)
-    xs = dk.trsm_lower_t_batched(Ls, zs)[0, :, 0]
+    if _CHAIN_SEP_XLA:
+        zs = jax.lax.linalg.triangular_solve(
+            Ls[0], rhs_s[:, None], left_side=True, lower=True
+        )
+        xs = jax.lax.linalg.triangular_solve(
+            Ls[0], zs, left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+    else:
+        rs = jnp.pad(rhs_s[None, :, None], ((0, 0), (0, 0), (0, 7)))
+        zs = dk.trsm_lower_batched(Ls, rs)
+        xs = dk.trsm_lower_t_batched(Ls, zs)[0, :, 0]
     xs_blocks = jnp.concatenate(
         [xs[: p.SB * bs].reshape(max(p.SB, 1) if p.SB else 1, -1)[: p.SB],
          jnp.zeros((1, bs), xs.dtype)], 0
