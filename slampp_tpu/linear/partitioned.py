@@ -43,7 +43,11 @@ HI = jax.lax.Precision.HIGHEST
 
 import os as _os
 
-_CHAIN_SEP_XLA = _os.environ.get("SLAMPP_CHAIN_SEP_XLA", "0") == "1"
+# chain mode's separator core is a SINGLE (Ms, Ms) factorization: XLA's
+# native cholesky/triangular_solve beat the batched Pallas kernels there
+# (measured 141 -> 163 it/s on manhattan3500); the Pallas kernels keep the
+# batched (K, M, M) dense-frame path where they win
+_CHAIN_SEP_XLA = _os.environ.get("SLAMPP_CHAIN_SEP_XLA", "1") == "1"
 
 _CR_BASE = 8  # chain length at which cyclic reduction hands off to a dense
               # batched factorization (see _cr_build)
