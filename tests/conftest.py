@@ -48,6 +48,15 @@ _SLOW_MODULES = {
     "test_examples",        # runs every example script end-to-end
 }
 
+# individual multi-minute tests (mostly multichip shard_map compiles that
+# the driver's dryrun_multichip exercises anyway)
+_SLOW_TESTS = {
+    ("test_distributed", "test_graft_dryrun_multichip"),        # 144 s
+    ("test_distributed_ba", "test_distributed_ba_step_matches_single_device"),  # 100 s
+    ("test_distributed", "test_distributed_gn_matches_single_device"),  # 47 s
+    ("test_incremental_windowed", "test_windowed_live_system_is_bounded"),  # 35 s
+}
+
 
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
@@ -57,5 +66,5 @@ def pytest_collection_modifyitems(config, items):
         keys = {(mod, item.name), (mod, item.name.split("[")[0])}
         if keys & _QUICK:
             item.add_marker(_pytest.mark.quick)
-        if mod in _SLOW_MODULES:
+        if mod in _SLOW_MODULES or keys & _SLOW_TESTS:
             item.add_marker(_pytest.mark.slow)
