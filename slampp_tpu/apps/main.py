@@ -157,7 +157,7 @@ def main(argv=None):
             )
 
             inc_cls = WindowedIncrementalSolver
-            if problem == "se2" and not args.robust:
+            if problem in ("se2", "se3") and not args.robust:
                 from slampp_tpu.solvers.fastl import FastLSolver
 
                 inc_cls = FastLSolver

@@ -69,16 +69,47 @@ _JITTER0 = 1e-12
 
 
 def supports_system(system: GraphSystem) -> bool:
-    """True when every type in the system has NumPy kernels and no robust
-    weighting (those run through the generic windowed solver)."""
+    """True unless robust weighting is in play (IRLS edges run through the
+    generic windowed/batch solvers).  Types without NumPy kernels use the
+    batched-JAX adapter (models/jax_kernel_adapter.py) — one dispatch per
+    relinearization batch instead of pure NumPy, exact-parity math."""
     for t in system.edge_type_names:
-        et = get_edge_type(t)
-        if t not in NP_EDGE_LIN or et.robust_weight_fn is not None:
+        if get_edge_type(t).robust_weight_fn is not None:
             return False
-    for t in system.vertex_type_names:
-        if t not in NP_RETRACT:
-            return False
-    return True
+    dims = {
+        get_vertex_type(t).dim for t in system.vertex_type_names
+    }
+    # the separator Schur-prior bookkeeping assumes one block size
+    # (inherited from the windowed solver); mixed-dim graphs use the
+    # generic engines
+    return len(dims) <= 1
+
+
+def _resolve_edge_lin(tname: str):
+    fn = NP_EDGE_LIN.get(tname)
+    if fn is not None:
+        return fn
+    from slampp_tpu.models.jax_kernel_adapter import make_edge_lin
+
+    return make_edge_lin(tname)
+
+
+def _resolve_retract(tname: str):
+    fn = NP_RETRACT.get(tname)
+    if fn is not None:
+        return fn
+    from slampp_tpu.models.jax_kernel_adapter import make_retract
+
+    return make_retract(tname)
+
+
+def _resolve_local_diff(tname: str):
+    fn = NP_LOCAL_DIFF.get(tname)
+    if fn is not None:
+        return fn
+    from slampp_tpu.models.jax_kernel_adapter import make_local_diff
+
+    return make_local_diff(tname)
 
 
 class _EdgeStore:
@@ -169,10 +200,34 @@ class FastLSolver(WindowedIncrementalSolver):
         self._rvm: Optional[Dict[str, List[int]]] = None
         self._rvm_len = -1
         self._sys_incident: Dict[int, List[Tuple[str, int]]] = {}
+        self._k_edge: Dict[str, object] = {}
+        self._k_retract: Dict[str, object] = {}
+        self._k_ldiff: Dict[str, object] = {}
         self._frozen_ver = 0
         self._slots_ver = 0
         self._pr_cache = None
         self._sep_cache = None
+
+    def _edge_lin_fn(self, tname: str):
+        fn = self._k_edge.get(tname)
+        if fn is None:
+            fn = _resolve_edge_lin(tname)
+            self._k_edge[tname] = fn
+        return fn
+
+    def _retract_fn(self, tname: str):
+        fn = self._k_retract.get(tname)
+        if fn is None:
+            fn = _resolve_retract(tname)
+            self._k_retract[tname] = fn
+        return fn
+
+    def _ldiff_fn(self, tname: str):
+        fn = self._k_ldiff.get(tname)
+        if fn is None:
+            fn = _resolve_local_diff(tname)
+            self._k_ldiff[tname] = fn
+        return fn
 
     # ------------------------------------------------------------- state views
     def _cur_state(self, vid: int) -> np.ndarray:
@@ -291,7 +346,7 @@ class FastLSolver(WindowedIncrementalSolver):
             )
             meas = np.stack([rec["meas"][e] for e, _ in items])
             W = np.stack([rec["sigma_inv"][e] for e, _ in items])
-            r, jacs = NP_EDGE_LIN[tname](slot_states, meas)
+            r, jacs = self._edge_lin_fn(tname)(slot_states, meas)
             Wr = np.einsum("eij,ej->ei", W, r)
             WJ = [np.einsum("eij,ejk->eik", W, jacs[a]) for a in range(et.arity)]
             offv = np.array(
@@ -437,7 +492,7 @@ class FastLSolver(WindowedIncrementalSolver):
         slot_states = tuple(
             self._vt_lin[et.vertex_types[a]][rows[:, a]] for a in range(et.arity)
         )
-        r, jacs = NP_EDGE_LIN[tname](slot_states, es.meas[idx])
+        r, jacs = self._edge_lin_fn(tname)(slot_states, es.meas[idx])
         W = es.W[idx]
         Wr = np.einsum("eij,ej->ei", W, r)
         dims = es.slot_dims
@@ -739,7 +794,7 @@ class FastLSolver(WindowedIncrementalSolver):
         total, groups, recs = plan
         delta_all = np.empty(total)
         for t, rows, refs, poss, dim in groups:
-            d = NP_LOCAL_DIFF[t](self._vt_lin[t][rows], refs)
+            d = self._ldiff_fn(t)(self._vt_lin[t][rows], refs)
             delta_all[poss[:, None] + np.arange(dim)[None, :]] = d
         for sc, idx, sl in recs:
             out[idx] += sc @ delta_all[sl]
@@ -815,7 +870,7 @@ class FastLSolver(WindowedIncrementalSolver):
             gate = norms > self.update_threshold
             d_eff = np.where(gate[:, None], delta, 0.0)
             lin = self._vt_lin[t][:nrow]
-            cur = NP_RETRACT[t](lin, d_eff)
+            cur = self._retract_fn(t)(lin, d_eff)
             self._vt_cur[t][:nrow] = cur
             relin = norms > self.relin_update_threshold
             if relin.any():
@@ -884,7 +939,7 @@ class FastLSolver(WindowedIncrementalSolver):
             for v in rec["bnd"]:
                 t, li = sysidx[v]
                 dxs_parts.append(
-                    NP_LOCAL_DIFF[t](
+                    self._ldiff_fn(t)(
                         vst[t][li][None, :], rec["bnd_states"][v][None, :]
                     )[0]
                 )
@@ -903,7 +958,7 @@ class FastLSolver(WindowedIncrementalSolver):
             for t, lst in by_t.items():
                 lins = np.stack([rec["lin_states"][v] for v, _, _, _ in lst])
                 dd = np.stack([dxi[oo : oo + d] for _, _, oo, d in lst])
-                new = NP_RETRACT[t](lins, dd)
+                new = self._retract_fn(t)(lins, dd)
                 for i, (_, li, _, _) in enumerate(lst):
                     vst[t][li] = new[i]
         self.system._dirty = True

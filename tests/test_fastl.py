@@ -258,3 +258,38 @@ def test_fastl_per_step_work_is_bounded():
     assert w2._N <= bound2
     assert w2.n_freezes > w1.n_freezes
     assert len(w2._frozen_of) > 600
+
+
+def test_fastl_se3_sphere_via_jax_adapter():
+    """SE(3) pose graphs have no NumPy kernels — the batched-JAX adapter
+    carries the FastL engine (exact-parity math, one dispatch per batch).
+    Final chi2 must match the generic windowed solver's."""
+    from slampp_tpu.io.datasets import make_sphere
+
+    text, _ = make_sphere(n_poses=120, seed=1)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        recs = parse_file(path)
+    finally:
+        os.unlink(path)
+
+    def run(cls):
+        system = GraphSystem()
+        w = cls(system, solve_period=1, require_loop_closure=False,
+                chunk=16, window=32)
+        build_system(recs, system=system,
+                     on_edge=lambda s, n: w.incremental_step())
+        w.refresh_frozen()
+        return w.chi2(), w
+
+    chi_f, wf = run(FastLSolver)
+    assert supports_system(wf.system)
+    assert wf.n_freezes >= 1          # the windowed economics engaged
+    chi_w, _ = run(WindowedIncrementalSolver)
+    assert np.isfinite(chi_f)
+    # both are intermediate (pre-final-batch) estimates; cadence differences
+    # shift them a few percent — FastL must be at least as good
+    assert chi_f < chi_w * 1.02
+    assert abs(chi_f - chi_w) / max(chi_w, 1.0) < 0.10
