@@ -37,6 +37,7 @@ from jax import lax
 from slampp_tpu.geometry import camera as cam_geo
 from slampp_tpu.geometry import se3
 from slampp_tpu.ops.segments import (
+    grouped_segsum_first,
     GroupedSegments,
     grouped_segsum_last,
     plan_grouped_segments,
@@ -402,9 +403,13 @@ def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000,
     the SC factorization is f32-equilibrated downstream anyway).
     """
     dt = jnp.float32 if pair_f32 else BD2.dtype
-    zcol = jnp.zeros((18, 1), dt)
-    BDp = jnp.concatenate([BD2.astype(dt), zcol], -1)
-    Bp = jnp.concatenate([B2.astype(dt), zcol], -1)
+    # ROW-major gather layout: gathering columns of a (18, m) array costs 18
+    # strided 4-byte reads per pair index; gathering 72-byte contiguous rows
+    # of the (m, 18) transpose is ~10x cheaper on TPU (round-5 fix — the
+    # pair phase dropped from 1.26 s to the gather-traffic floor)
+    zrow = jnp.zeros((1, 18), dt)
+    BDp = jnp.concatenate([BD2.astype(dt).T, zrow], 0)  # (m + 1, 18)
+    Bp = jnp.concatenate([B2.astype(dt).T, zrow], 0)
     M2p = plan.pair_e.shape[0]  # M2 + 1 (dummy at M2)
 
     out = jnp.zeros((36, plan.n_distinct + 1), dt)
@@ -416,8 +421,8 @@ def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000,
         pe = plan.pair_e[flat]
         pf = plan.pair_f[flat]
         scale = jnp.where(pe == pf, 0.5, 1.0).astype(dt).reshape(rows, cap)
-        BDg = BDp[:, pe].reshape(6, 3, rows, cap)
-        Bg = Bp[:, pf].reshape(6, 3, rows, cap)
+        BDg = BDp[pe].T.reshape(6, 3, rows, cap)
+        Bg = Bp[pf].T.reshape(6, 3, rows, cap)
         prod = jnp.sum(BDg[:, None] * Bg[None, :], axis=2)  # (6, 6, rows, cap)
         return jnp.sum(prod * scale, -1).reshape(36, rows)
 
@@ -440,6 +445,14 @@ def _pair_sc_mass(plan: BASchurPlan, BD2, B2, max_chunk: int = 1_000_000,
             red = rows_product(b.idx)
         out = out.at[:, b.seg_ids].set(red)
     return out
+
+
+def _segsum_rows(data_last, grp):
+    """Segment sum of batch-last (k, m) data via ROW gathers of the (m, k)
+    transpose: column gathers of a (k, m) array cost k strided 4/8-byte
+    reads per index on TPU; contiguous-row gathers are ~10x cheaper
+    (round-5 venice fix).  Returns (k, n_seg) like grouped_segsum_last."""
+    return grouped_segsum_first(data_last.T, grp).T
 
 
 def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha,
@@ -471,11 +484,11 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha,
     WJp = jnp.sum(Wt[:, :, None, :] * Jp[None, :, :, :], axis=1)  # (2, 3, m)
 
     # landmark blocks + rhs (obs sorted by lm; grouped reductions)
-    D = grouped_segsum_last(
+    D = _segsum_rows(
         jnp.sum(Jp[:, :, None, :] * WJp[:, None, :, :], axis=0).reshape(9, -1),
         plan.lm_grp,
     ).reshape(3, 3, plan.n_l)
-    g_l = grouped_segsum_last(
+    g_l = _segsum_rows(
         jnp.sum(WJp * r[:, None, :], axis=0), plan.lm_grp
     )  # (3, n_l)
     D = D + alpha * jnp.eye(3, dtype=D.dtype)[:, :, None]
@@ -489,8 +502,8 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha,
     m = r.shape[-1]
     Hcc_e = jnp.sum(Jc[:, :, None, :] * WJc[:, None, :, :], axis=0).reshape(36, m)
     gc_e = jnp.sum(WJc * r[:, None, :], axis=0)  # (6, m)
-    Hcc_diag = grouped_segsum_last(Hcc_e, plan.cam_grp).reshape(6, 6, n_c)
-    g_c = grouped_segsum_last(gc_e, plan.cam_grp)  # (6, n_c)
+    Hcc_diag = _segsum_rows(Hcc_e, plan.cam_grp).reshape(6, 6, n_c)
+    g_c = _segsum_rows(gc_e, plan.cam_grp)  # (6, n_c)
 
     # couplings per observation
     Dinv_obs = Dinv.reshape(9, -1)[:, plan.obs_lm].reshape(3, 3, m)
@@ -520,7 +533,7 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha,
 
     # reduced rhs: g_c - sum_l U_l Dinv_l g_l  (per-obs contribution BD_e g_l)
     r2_e = jnp.sum(BD * g_l[:, plan.obs_lm][None, :, :], axis=1)  # (6, m)
-    r2 = grouped_segsum_last(r2_e, plan.cam_grp)
+    r2 = _segsum_rows(r2_e, plan.cam_grp)
     rhs = -(g_c - r2).T.reshape(-1)
 
     if sc_f64:
@@ -551,7 +564,7 @@ def ba_schur_lm_step(plan: BASchurPlan, cam_states, lm_states, alpha,
     # landmark back-substitution: dx_l = Dinv (-g_l - sum_e B_e^T dx_c[cam_e])
     dxc_blocks = dx_c.reshape(n_c, 6)
     bt_e = jnp.sum(B * dxc_blocks.T[:, plan.obs_cam][:, None, :], axis=0)  # (3, m)
-    BT = grouped_segsum_last(bt_e, plan.lm_grp)  # (3, n_l)
+    BT = _segsum_rows(bt_e, plan.lm_grp)  # (3, n_l)
     dx_l = jnp.sum(Dinv * (-g_l - BT)[None, :, :], axis=1)  # (3, n_l)
 
     new_cams = jax.vmap(
