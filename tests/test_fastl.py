@@ -293,3 +293,19 @@ def test_fastl_se3_sphere_via_jax_adapter():
     # shift them a few percent — FastL must be at least as good
     assert chi_f < chi_w * 1.02
     assert abs(chi_f - chi_w) / max(chi_w, 1.0) < 0.10
+
+
+def test_fastl_solve_period_gt_one():
+    """-nsp 5 semantics: solves happen every 5 new vertices, queued edges
+    are ingested at solve time, and the final estimate stays sane."""
+    system = GraphSystem()
+    w = FastLSolver(system, solve_period=5, require_loop_closure=False)
+    build_system(
+        _records(300), system=system, on_edge=lambda s, n: w.incremental_step()
+    )
+    assert 40 <= w.n_solves <= 75  # ~300/5 with closure-step jitter
+    w.refresh_frozen()
+    chi = w.chi2()
+    assert np.isfinite(chi) and chi < 5000.0
+    w.optimize(max_iterations=10, min_dx_norm=1e-3)
+    assert w.chi2() < 50.0
