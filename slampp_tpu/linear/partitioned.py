@@ -49,8 +49,9 @@ import os as _os
 # batched (K, M, M) dense-frame path where they win
 _CHAIN_SEP_XLA = _os.environ.get("SLAMPP_CHAIN_SEP_XLA", "1") == "1"
 
-_CR_BASE = 8  # chain length at which cyclic reduction hands off to a dense
-              # batched factorization (see _cr_build)
+_CR_BASE = int(_os.environ.get("SLAMPP_CR_BASE", "8"))
+# chain length at which cyclic reduction hands off to a dense batched
+# factorization (see _cr_build)
 
 
 def _small_inv(A):
